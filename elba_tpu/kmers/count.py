@@ -1,0 +1,122 @@
+"""Exact reliable-k-mer counting and the reads-by-kmers matrix A.
+
+Pipeline (replacing reference KmerOps.cpp:18-401):
+  1. extract canonical k-mers for all windows of all reads
+  2. sort instances by (kmer, readid, pos)   [device sort]
+  3. group by kmer; keep groups with lower <= count <= upper (exact
+     counting; same reliable set as the reference's Bloom + two-pass since
+     presence depends only on the true global count, SURVEY.md section 7.3)
+  4. A = COO triples (readid, kmer_rank, pos); kmer_rank is the rank of the
+     kmer in sorted canonical order (deterministic, unlike the reference's
+     hash-table iteration order -- the difference cancels in B = A @ A.T)
+
+Instances within a kmer group are ordered by (readid, pos), which equals the
+reference's single-process arrival order (read-major, position-minor;
+KmerOps.cpp:283-318).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .extract import extract_canonical_kmers
+
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@dataclasses.dataclass
+class KmerMatrix:
+    """COO of A (reads x kmers), sorted by (kmer_rank, readid, pos).
+
+    rows: int64[nnz] global read ids
+    cols: int64[nnz] kmer ranks (0..num_kmers-1 in sorted canonical order)
+    pos:  int32[nnz] window position of the kmer instance within the read
+    kmers: uint64[num_kmers] the canonical packed k-mers, sorted
+    num_reads / num_kmers: matrix shape
+    """
+    rows: np.ndarray
+    cols: np.ndarray
+    pos: np.ndarray
+    kmers: np.ndarray
+    num_reads: int
+    num_kmers: int
+
+    @property
+    def nnz(self) -> int:
+        return len(self.rows)
+
+
+@jax.jit
+def _sort_instances(canon, valid, read_ids):
+    """Flatten (kmer, read, pos) instances and sort by (kmer, read, pos).
+    Invalid windows get sentinel kmers that sort last."""
+    R, W = canon.shape
+    km = jnp.where(valid, canon, jnp.uint64(_SENTINEL)).reshape(-1)
+    rid = jnp.broadcast_to(read_ids[:, None], (R, W)).reshape(-1)
+    pos = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :],
+                           (R, W)).reshape(-1)
+    order = jnp.lexsort((pos, rid, km))
+    return km[order], rid[order], pos[order], jnp.sum(valid)
+
+
+def count_reliable_kmers(codes, lengths, read_ids, k: int,
+                         lower: int, upper: int) -> KmerMatrix:
+    """Single-shard exact counting; returns the A matrix COO.
+
+    codes/lengths: padded reads (device or numpy), read_ids: global ids.
+    """
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(lengths)
+    read_ids = jnp.asarray(read_ids, dtype=jnp.int64)
+    canon, valid = extract_canonical_kmers(codes, lengths, k)
+    if canon.shape[1] == 0:
+        return KmerMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                          np.zeros(0, np.int32), np.zeros(0, np.uint64),
+                          int(codes.shape[0]), 0)
+    km, rid, pos, nvalid = _sort_instances(canon, valid, read_ids)
+
+    # Host-side compaction (dynamic sizes between jitted stages).
+    nvalid = int(nvalid)
+    km = np.asarray(km[:nvalid])
+    rid = np.asarray(rid[:nvalid])
+    pos = np.asarray(pos[:nvalid])
+
+    boundaries = np.empty(nvalid, dtype=bool)
+    if nvalid:
+        boundaries[0] = True
+        np.not_equal(km[1:], km[:-1], out=boundaries[1:])
+    starts = np.flatnonzero(boundaries)
+    counts = np.diff(np.append(starts, nvalid))
+
+    reliable = (counts >= lower) & (counts <= upper)
+    rel_starts = starts[reliable]
+    num_kmers = int(reliable.sum())
+
+    # Instance selection mask + kmer rank per instance (vectorized).
+    group_id = np.cumsum(boundaries) - 1
+    keep = reliable[group_id]
+    rank_of_group = np.cumsum(reliable) - 1  # rank among reliable kmers
+    rank_of_instance = rank_of_group[group_id]
+
+    return KmerMatrix(
+        rows=rid[keep].astype(np.int64),
+        cols=rank_of_instance[keep],
+        pos=pos[keep].astype(np.int32),
+        kmers=km[rel_starts],
+        num_reads=int(codes.shape[0]),
+        num_kmers=num_kmers,
+    )
+
+
+def build_kmer_matrix(readset, k: int, lower: int, upper: int) -> KmerMatrix:
+    """Convenience: extract + count from a ReadSet."""
+    codes = readset.padded_codes()
+    lengths = readset.lengths
+    read_ids = np.arange(readset.start_id, readset.start_id + len(readset),
+                         dtype=np.int64)
+    m = count_reliable_kmers(codes, lengths, read_ids, k, lower, upper)
+    return m

@@ -1,0 +1,69 @@
+"""Windowed canonical k-mer extraction on device.
+
+A k-mer (k <= 32) is packed into a uint64 with base 0 in the *high* 2 bits
+of the used 2k-bit field (low-aligned overall).  Numeric comparison of two
+packed k-mers then equals lexicographic comparison of their base strings,
+matching the reference's representative choice GetRep = min(kmer, twin)
+(reference src/Kmer.cpp:200-205, operator< at :119-131, MSB-first packing at
+:68-87 -- same ordering, different alignment).
+
+The canonical (representative) k-mer of a window is min(forward, revcomp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_canonical_kmers(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """Extract canonical k-mers from padded code rows.
+
+    codes:   uint8[R, L] 2-bit codes, padded arbitrarily past each length
+    lengths: int[R]
+    k:       static k-mer size (<= 32)
+
+    Returns (canon, valid):
+      canon: uint64[R, W] canonical packed k-mer per window (W = L - k + 1)
+      valid: bool[R, W]   window fully inside the read
+    """
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        return (jnp.zeros((R, 0), jnp.uint64), jnp.zeros((R, 0), bool))
+    c64 = codes.astype(jnp.uint64)
+    fwd = jnp.zeros((R, W), dtype=jnp.uint64)
+    rc = jnp.zeros((R, W), dtype=jnp.uint64)
+    for j in range(k):
+        col = c64[:, j:j + W]
+        fwd = fwd | (col << jnp.uint64(2 * (k - 1 - j)))
+        rc = rc | ((jnp.uint64(3) - col) << jnp.uint64(2 * j))
+    canon = jnp.minimum(fwd, rc)
+    pos = jnp.arange(W, dtype=lengths.dtype)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    return canon, valid
+
+
+def pack_kmers_ref(seq_codes: np.ndarray, k: int) -> np.ndarray:
+    """Numpy oracle: packed forward k-mers of one read (for tests)."""
+    n = len(seq_codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        out |= seq_codes[j:j + n].astype(np.uint64) << np.uint64(2 * (k - 1 - j))
+    return out
+
+
+def canonical_ref(seq_codes: np.ndarray, k: int) -> np.ndarray:
+    """Numpy oracle: canonical k-mers of one read."""
+    fwd = pack_kmers_ref(seq_codes, k)
+    rc_seq = (3 - seq_codes[::-1]).astype(np.uint8)
+    rc_all = pack_kmers_ref(rc_seq, k)
+    # window i of the forward strand corresponds to window n-1-i of revcomp
+    rc = rc_all[::-1]
+    return np.minimum(fwd, rc)

@@ -1,0 +1,104 @@
+"""End-to-end single-host assembly pipeline (reference src/main.cpp:75-346).
+
+FASTA -> 2-bit reads -> reliable k-mers -> A -> B = A A^T (SharedSeeds)
+-> X-drop alignment -> R -> prune (failed / bad / contained) -> transitive
+reduction -> S -> contigs; writes {prefix}.overlap.paf, {prefix}.string.paf,
+{prefix}.contigs.fa.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+from .align.pairwise import pairwise_alignment
+from .dseq.dna import ReadSet, load_fasta
+from .dsparse.coo import COOMatrix
+from .dsparse.seedmat import build_seed_matrix
+from .graph.contigs import generate_contigs
+from .graph.prune import prune_overlap_graph
+from .graph.tr import transitive_reduction
+from .io.fasta_out import write_contigs_fasta
+from .io.paf import write_paf
+from .kmers.count import build_kmer_matrix
+from .params import PipelineParams
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    readset: ReadSet
+    A: object
+    B: object
+    R: COOMatrix
+    S: COOMatrix
+    contigs: List[str]
+    timings: dict
+
+
+def run_pipeline(fasta_path: str, params: PipelineParams,
+                 write_outputs: bool = True,
+                 aligner: Optional[Callable] = None,
+                 log: Optional[Callable[[str], None]] = print) -> PipelineResult:
+    timings = {}
+
+    def phase(name):
+        class _T:
+            def __enter__(self):
+                self.t = time.perf_counter()
+            def __exit__(self, *a):
+                timings[name] = time.perf_counter() - self.t
+                if log:
+                    log(f"[elba-tpu] {name}: {timings[name]:.3f}s")
+        return _T()
+
+    with phase("load_fasta"):
+        readset = load_fasta(fasta_path)
+
+    with phase("kmer_matrix"):
+        A = build_kmer_matrix(readset, params.k, params.lower_freq,
+                              params.upper_freq)
+    if log:
+        log(f"[elba-tpu] A: {A.num_reads} reads x {A.num_kmers} reliable "
+            f"k-mers, {A.nnz} nnz")
+
+    with phase("seed_matrix"):
+        B = build_seed_matrix(A, min_shared=2, full=True)
+    if log:
+        log(f"[elba-tpu] B: {B.nnz} candidate entries")
+
+    with phase("alignment"):
+        R = pairwise_alignment(readset, B, params.k, params.mat, params.mis,
+                               params.gap, params.xdrop, aligner=aligner)
+    if log:
+        log(f"[elba-tpu] R: {R.nnz} alignments, "
+            f"{int(R.vals['passed'].sum())} passed")
+
+    if write_outputs:
+        with phase("write_overlap_paf"):
+            write_paf(R, readset.names, f"{params.output_prefix}.overlap.paf")
+
+    with phase("prune"):
+        Rp = prune_overlap_graph(R, params.bad_read_cutoff)
+
+    with phase("transitive_reduction"):
+        S = transitive_reduction(Rp)
+    if log:
+        log(f"[elba-tpu] S: {S.nnz} string-graph edges")
+
+    if write_outputs:
+        with phase("write_string_paf"):
+            write_paf(S, readset.names, f"{params.output_prefix}.string.paf")
+
+    with phase("contigs"):
+        contigs = generate_contigs(S, readset)
+    if log:
+        log(f"[elba-tpu] {len(contigs)} contigs, "
+            f"{sum(len(c) for c in contigs)} bases")
+
+    if write_outputs:
+        with phase("write_contigs"):
+            write_contigs_fasta(contigs, f"{params.output_prefix}.contigs.fa")
+
+    return PipelineResult(readset=readset, A=A, B=B, R=R, S=S,
+                          contigs=contigs, timings=timings)

@@ -1,0 +1,101 @@
+import numpy as np
+import jax.numpy as jnp
+
+from elba_tpu.dseq.dna import ReadSet, ascii_to_codes
+from elba_tpu.kmers.extract import (extract_canonical_kmers, canonical_ref,
+                                    pack_kmers_ref)
+from elba_tpu.kmers.count import count_reliable_kmers, build_kmer_matrix
+from tests.conftest import random_dna
+
+
+def brute_force_canonical(seq_codes, k):
+    """Independent oracle: canonical kmer as min of the two strings."""
+    out = []
+    s = seq_codes
+    rc = (3 - s[::-1]).astype(np.uint8)
+    n = len(s)
+    for p in range(n - k + 1):
+        fwd = tuple(s[p:p + k])
+        twin = tuple(rc[n - k - p:n - p])
+        best = min(fwd, twin)
+        v = 0
+        for c in best:
+            v = (v << 2) | int(c)
+        out.append(v)
+    return np.array(out, dtype=np.uint64)
+
+
+def test_extract_matches_oracle(rng):
+    for k in [3, 5, 17, 31]:
+        for n in [k, k + 1, 40, 100]:
+            s = random_dna(rng, n)
+            expect = brute_force_canonical(s, k)
+            assert np.array_equal(canonical_ref(s, k), expect)
+            canon, valid = extract_canonical_kmers(
+                jnp.asarray(s[None, :]), jnp.asarray([n]), k)
+            got = np.asarray(canon)[0][np.asarray(valid)[0]]
+            assert np.array_equal(got, expect), (k, n)
+
+
+def test_canonical_strand_invariance(rng):
+    k = 17
+    s = random_dna(rng, 60)
+    rc = (3 - s[::-1]).astype(np.uint8)
+    a = canonical_ref(s, k)
+    b = canonical_ref(rc, k)
+    assert np.array_equal(np.sort(a), np.sort(b))
+
+
+def test_short_reads_excluded(rng):
+    k = 17
+    rs = ReadSet.from_sequences(["ACGT", "A" * 30])
+    m = build_kmer_matrix(rs, k, 1, 100)
+    # only read 1 contributes windows (read 0 shorter than k)
+    assert np.all(m.rows == 1)
+    assert m.nnz == 30 - k + 1
+
+
+def test_counting_matches_dict_oracle(rng):
+    k = 7
+    lower, upper = 2, 5
+    reads = [random_dna(rng, rng.integers(20, 60)) for _ in range(30)]
+    # inject a shared motif so some kmers repeat
+    motif = random_dna(rng, 12)
+    for i in range(0, 30, 3):
+        reads[i][:12] = motif
+    rs = ReadSet.from_sequences(
+        ["".join("ACGT"[c] for c in r) for r in reads])
+
+    # dict oracle over all windows
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for rid, r in enumerate(reads):
+        can = brute_force_canonical(r, k)
+        for p, v in enumerate(can):
+            occ[int(v)].append((rid, p))
+    reliable = {v for v, lst in occ.items() if lower <= len(lst) <= upper}
+
+    m = build_kmer_matrix(rs, k, lower, upper)
+    assert set(int(x) for x in m.kmers) == reliable
+    assert np.all(np.sort(m.kmers) == m.kmers)
+
+    # triples must be exactly all instances of reliable kmers,
+    # ordered by (kmer rank, readid, pos)
+    expect = []
+    for rank, v in enumerate(sorted(reliable)):
+        for rid, p in sorted(occ[v]):
+            expect.append((rid, rank, p))
+    got = list(zip(m.rows.tolist(), m.cols.tolist(), m.pos.tolist()))
+    assert got == expect
+
+
+def test_duplicate_kmer_in_same_read():
+    # a kmer appearing twice in the same read yields two (read, kmer) triples
+    k = 5
+    seq = "ACGTA" + "CC" + "ACGTA"
+    rs = ReadSet.from_sequences([seq, seq])  # 4 instances of ACGTA total
+    m = build_kmer_matrix(rs, k, 4, 4)
+    assert m.num_kmers == 1  # only ACGTA is reliable at [4, 4]
+    assert m.nnz == 4
+    assert sorted(zip(m.rows.tolist(), m.pos.tolist())) == \
+        [(0, 0), (0, 7), (1, 0), (1, 7)]
