@@ -50,17 +50,24 @@ class KmerMatrix:
         return len(self.rows)
 
 
-@jax.jit
 def _sort_instances(canon, valid, read_ids):
     """Flatten (kmer, read, pos) instances and sort by (kmer, read, pos).
-    Invalid windows get sentinel kmers that sort last."""
+
+    The row-major flattening is already ascending in (read, pos), so one
+    stable sort by kmer yields the full (kmer, read, pos) order.  The sort
+    runs on host: XLA's variadic sort both compiles and runs poorly for
+    64-bit keys, and the counting stage is host-orchestrated anyway (a
+    device radix sort is tracked as a perf milestone)."""
+    canon = np.asarray(canon)
+    valid = np.asarray(valid)
+    read_ids = np.asarray(read_ids)
     R, W = canon.shape
-    km = jnp.where(valid, canon, jnp.uint64(_SENTINEL)).reshape(-1)
-    rid = jnp.broadcast_to(read_ids[:, None], (R, W)).reshape(-1)
-    pos = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :],
-                           (R, W)).reshape(-1)
-    order = jnp.lexsort((pos, rid, km))
-    return km[order], rid[order], pos[order], jnp.sum(valid)
+    rid_f, pos_f = np.nonzero(valid)
+    km = canon[rid_f, pos_f]
+    rid = read_ids[rid_f]
+    pos = pos_f.astype(np.int32)
+    order = np.argsort(km, kind="stable")
+    return km[order], rid[order], pos[order], len(km)
 
 
 def count_reliable_kmers(codes, lengths, read_ids, k: int,
@@ -78,12 +85,6 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
                           np.zeros(0, np.int32), np.zeros(0, np.uint64),
                           int(codes.shape[0]), 0)
     km, rid, pos, nvalid = _sort_instances(canon, valid, read_ids)
-
-    # Host-side compaction (dynamic sizes between jitted stages).
-    nvalid = int(nvalid)
-    km = np.asarray(km[:nvalid])
-    rid = np.asarray(rid[:nvalid])
-    pos = np.asarray(pos[:nvalid])
 
     boundaries = np.empty(nvalid, dtype=bool)
     if nvalid:

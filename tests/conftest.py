@@ -4,11 +4,17 @@ reference's `mpirun -np {1,4,9,16}` single-node testing, runtests.sh)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The container's sitecustomize force-registers the axon TPU backend as the
+# default regardless of JAX_PLATFORMS; pin the test session to CPU.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
