@@ -58,8 +58,15 @@ def pairwise_alignment(readset: ReadSet, B: SeedMatrix, k: int,
     seedT = m.vals["seedT0"][sel]
 
     if aligner is None:
-        from .xdrop_jax import align_batch_jax
-        aligner = align_batch_jax
+        import jax
+        if jax.default_backend() == "cpu":
+            # vmapped while_loop path: fast enough on CPU and avoids
+            # Pallas interpret-mode overhead in tests
+            from .xdrop_jax import align_batch_jax
+            aligner = align_batch_jax
+        else:
+            from .xdrop_pallas import align_batch_pallas
+            aligner = align_batch_pallas
 
     res = aligner(readset, qi, ti, seedQ, seedT, k, mat, mis, gap, dropoff)
 

@@ -155,18 +155,32 @@ def load_fasta(fasta_path: str,
     offsets[1:] = np.cumsum(lengths)[:-1]
     codes = np.empty(int(lengths.sum()), dtype=np.uint8)
 
-    for i, rec in enumerate(myrecords):
-        # Remove the newline every bases_per_line characters.
-        chunk = rec.pos - startpos
-        remain = rec.length
-        out = offsets[i]
-        locpos = 0
-        while remain > 0:
-            cnt = min(rec.bases_per_line, remain)
-            seg = raw[chunk + locpos: chunk + locpos + cnt]
-            codes[out:out + cnt] = _CODE_LUT[seg]
-            out += cnt
-            remain -= cnt
-            locpos += cnt + 1
+    from ..native.loader import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        poss = np.array([r.pos for r in myrecords], dtype=np.int64)
+        widths = np.array([r.bases_per_line for r in myrecords],
+                          dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.fasta_unwrap_pack(
+            buf, ctypes.c_int64(startpos), ctypes.c_int64(len(myrecords)),
+            lengths.ctypes.data_as(i64p), poss.ctypes.data_as(i64p),
+            widths.ctypes.data_as(i64p), offsets.ctypes.data_as(i64p),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    else:
+        for i, rec in enumerate(myrecords):
+            # Remove the newline every bases_per_line characters.
+            chunk = rec.pos - startpos
+            remain = rec.length
+            out = offsets[i]
+            locpos = 0
+            while remain > 0:
+                cnt = min(rec.bases_per_line, remain)
+                seg = raw[chunk + locpos: chunk + locpos + cnt]
+                codes[out:out + cnt] = _CODE_LUT[seg]
+                out += cnt
+                remain -= cnt
+                locpos += cnt + 1
     return ReadSet(codes=codes, offsets=offsets, lengths=lengths,
                    names=[r.name for r in myrecords], start_id=lo)

@@ -1,0 +1,63 @@
+"""Build-on-first-use ctypes loader for the native library.
+
+Compiles fastaio.cpp with g++ -O3 -fopenmp into the package directory the
+first time it is needed; callers must tolerate None (numpy fallback) so a
+missing toolchain never breaks the framework.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_elba_native.so")
+_SRC = os.path.join(_HERE, "fastaio.cpp")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        p8 = ctypes.POINTER(ctypes.c_uint8)
+        pc = ctypes.c_char_p
+        pi64 = ctypes.POINTER(i64)
+        lib.fasta_unwrap_pack.argtypes = [pc, i64, i64, pi64, pi64, pi64,
+                                          pi64, p8]
+        lib.fasta_unwrap_pack.restype = None
+        lib.pack_2bit.argtypes = [p8, i64, p8]
+        lib.pack_2bit.restype = None
+        lib.revcomp_codes.argtypes = [p8, i64, p8]
+        lib.revcomp_codes.restype = None
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
