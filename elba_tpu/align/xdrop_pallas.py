@@ -57,18 +57,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 8        # items per grid step (int32 sublane tile)
 BANDW = 128    # live-band capacity in lanes
+RING = 1024    # antidiagonal buffers are rings over column space (col % RING)
 NEG_BIG = -(2**31) + 2**20
 
 
 def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
             tanch):
-    """ads_ref: VMEM (3, SUB, WBUF) rotating antidiagonal buffers
-    (column c of antidiagonal a lives at ads[a % 3, s, c]).
+    """ads_ref: VMEM (3, SUB, RING + 2*BANDW) rotating antidiagonal ring
+    buffers: column c of antidiagonal a lives at ads[a % 3, s, c % RING]
+    (compile time must not scale with read length, so the buffers are
+    fixed-size rings; ring aliasing is safe because reads never reach
+    further than 3 aligned window steps behind the current base, and a
+    mirror write keeps [0, BANDW) equal to [RING, RING+BANDW)).
     sc_ref: SMEM (SUB, 12) per-item scalar state:
       0 min_col, 1 max_col, 2 (unused), 3 hi3, 4 best, 5 bec, 6 ber,
       7 bes, 8 active, 9 overflow, 10 cols, 11 rows.
     """
-    WBUF = ads_ref.shape[2]
     WWIN = 2 * BANDW  # aligned working window (live band <= BANDW)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
@@ -81,14 +85,18 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
         active = params_ref[s, 2]
         undef = params_ref[s, 5]
         init_cell = params_ref[s, 6]
-        # whole-buffer init to undef (antidiags 0 and 1 + stale guards)
-        for r in range(3):
-            ads_ref[r, s, :] = jnp.full((WBUF,), 1, jnp.int32) * undef
-        # vector stores only (Mosaic forbids scalar VMEM stores):
+        # Init only the first working window of each buffer: every later
+        # read stays inside a prior write window (the band windows advance
+        # by <= 128 aligned steps and reads are extent-masked), so cells
+        # beyond [0, 2*BANDW) never need initialization.  Full-width init
+        # stores made Mosaic compile time explode with read length.
+        lane2 = lane[0]  # (2*BANDW,) iota
+        undef_win = jnp.full((2 * BANDW,), 1, jnp.int32) * undef
+        ads_ref[2, s, pl.ds(0, 2 * BANDW)] = undef_win
         # antidiag 0: col 0 = 0; antidiag 1: cols 0, 1 = init_cell
-        ads_ref[0, s, pl.ds(0, BANDW)] = jnp.where(lane1 == 0, 0, undef)
-        ads_ref[1, s, pl.ds(0, BANDW)] = jnp.where(
-            lane1 <= 1, init_cell, undef)
+        ads_ref[0, s, pl.ds(0, 2 * BANDW)] = jnp.where(lane2 == 0, 0, undef)
+        ads_ref[1, s, pl.ds(0, 2 * BANDW)] = jnp.where(
+            lane2 <= 1, init_cell, undef)
         sc_ref[s, 0] = 1
         sc_ref[s, 1] = 2
         sc_ref[s, 2] = 0
@@ -119,6 +127,7 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
         rows_q = []
         rows_t = []
         basev = []
+        slotv = []
         l3v = []
         mcv = []
         xcv = []
@@ -129,9 +138,11 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
             xc = jnp.where(act > 0, sc_ref[s, 1], 2)
             l3 = mc - 1
             base = pl.multiple_of((l3 // BANDW) * BANDW, BANDW)
-            # aligned 256-lane windows over [base, base+WWIN)
-            rows_a2.append(ads_ref[r2, s, pl.ds(base, WWIN)])
-            rows_a1.append(ads_ref[r1, s, pl.ds(base, WWIN)])
+            slot = pl.multiple_of(base % RING, BANDW)
+            # aligned 256-lane windows over ring slots [slot, slot+WWIN)
+            rows_a2.append(ads_ref[r2, s, pl.ds(slot, WWIN)])
+            rows_a1.append(ads_ref[r1, s, pl.ds(slot, WWIN)])
+
             rows_q.append(qs_ref[s, pl.ds(base, WWIN)])
             # target: col c needs TSR[(tanch - ad_no + 1) + c]; extract the
             # unaligned window with an aligned 3-tile load + dynamic roll
@@ -143,6 +154,7 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
                               3 * BANDW - offt, 1)[0, :WWIN]
             rows_t.append(trow)
             basev.append(base)
+            slotv.append(slot)
             l3v.append(l3)
             mcv.append(mc)
             xcv.append(xc)
@@ -214,8 +226,16 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
             act = sc_ref[s, 8]
 
             @pl.when(act > 0)
-            def _(s=s, ad3=ad3, basev=basev):
-                ads_ref[r3, s, pl.ds(basev[s], WWIN)] = ad3[s, :]
+            def _(s=s, ad3=ad3, slotv=slotv):
+                slot = slotv[s]
+                ads_ref[r3, s, pl.ds(slot, WWIN)] = ad3[s, :]
+
+                # ring wraparound: the pad [RING, RING+BANDW) must mirror
+                # [0, BANDW) -- copy the window's upper half down when the
+                # write lands at the top of the ring
+                @pl.when(slot >= RING - BANDW)
+                def _():
+                    ads_ref[r3, s, pl.ds(0, BANDW)] = ad3[s, BANDW:]
                 sc_ref[s, 3] = sc_ref[s, 1]              # hi3 = creation max
                 best_old = sc_ref[s, 4]
                 hit = lastc[s] >= 0
@@ -235,6 +255,13 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
                 sc_ref[s, 9] = ov
                 sc_ref[s, 8] = jnp.where(
                     (new_min < new_max) & (ov == 0), 1, 0)
+
+        if globals().get("_DEBUG"):
+            pl.debug_print(
+                "ad={} mc={} xc={} best={} bes={} act={} t64={} a2_64={} a1_64={} q64={} t_64={}",
+                ad_no, sc_ref[1, 0], sc_ref[1, 1], sc_ref[1, 4], sc_ref[1, 7],
+                sc_ref[1, 8], temp[1, 64], a2[1, 64], a1[1, 64], qv[1, 64],
+                tv[1, 64])
 
         return (ad_no + 1, nactive())
 
@@ -263,7 +290,7 @@ def _xdrop_extend_items_x32(params, qs, tsr, lcap: int,
     N = params.shape[0]
     def rup(x, m=128):
         return ((x + m - 1) // m) * m
-    WBUF = rup(lcap + 2) + 2 * BANDW
+    WBUF = RING + 2 * BANDW
     grid = (N // SUB,)
     out = pl.pallas_call(
         functools.partial(_kernel, tanch=lcap + 129),
@@ -346,6 +373,9 @@ def _prep_items(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap, dropoff,
     rows = np.maximum(rows, 1)
 
     lcap = int(max(cols.max(), rows.max()))
+    # round the item capacity up to a power of two so the kernel compiles
+    # for a handful of shapes only (compile results are disk-cached)
+    lcap = max(512, 1 << int(np.ceil(np.log2(lcap))))
     tanch = lcap + 129
 
     def rup(x, m=128):
@@ -377,8 +407,8 @@ def _prep_items(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap, dropoff,
     undef = (INT_MIN - g - m).astype(np.int64)
     init_cell = np.where(-g > dropoff, undef, g)
 
-    npad = (-len(cols)) % SUB
-    n_items = len(cols) + npad
+    n_items = max(16, 1 << int(np.ceil(np.log2(len(cols)))))
+    npad = n_items - len(cols)
     params = np.zeros((n_items, 128), np.int32)
     params[: 2 * P, 0] = cols
     params[: 2 * P, 1] = rows

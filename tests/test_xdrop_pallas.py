@@ -98,3 +98,18 @@ def test_odd_batch_padding(rng):
     s = random_dna(rng, 400)
     cases = [(s, s, 100, 100), (s, s, 10, 10), (s, s, 383, 383)]
     check_against_oracle(cases, k)
+
+
+def test_ring_wraparound_long_extension(rng):
+    """Extensions longer than the ring (1024 cols) must stay exact."""
+    k = 17
+    genome = random_dna(rng, 6000)
+    q = mutate(rng, genome[0:3000], 0.02, 0.01)
+    t = mutate(rng, genome[500:3500], 0.02, 0.01)
+    seed = find_shared_seed(q, t, k)
+    if seed is None:
+        q = genome[0:3000]
+        t = genome[500:3500]
+        seed = (1500, 1000)
+    check_against_oracle([(q, t, seed[0], seed[1]),
+                          (genome[:3000], genome[:3000], 2900, 2900)], k)
