@@ -1,0 +1,84 @@
+"""Offline tooling: simulation oracle -> pipeline -> independent graph
+check -> assembly evaluation, end to end."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from elba_tpu.params import PipelineParams
+from elba_tpu.pipeline import run_pipeline
+from elba_tpu.io.mtx import (write_mtx_seed_matrix, write_mtx_kmer_matrix,
+                             write_mtx_overlap_matrix)
+
+sys.path.insert(0, "/root/repo")
+from tools.simulate import simulate  # noqa: E402
+from tools.paf_graph import analyze  # noqa: E402
+from tools.eval_assembly import evaluate  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def sim_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sim")
+    prefix = str(tmp / "sim")
+    simulate(prefix, genome_len=30000, nreads=60, read_len=2500,
+             error=0.0, seed=3)
+    params = PipelineParams(k=17, lower_freq=2, upper_freq=12, xdrop=5,
+                            output_prefix=prefix)
+    result = run_pipeline(prefix + ".fa", params, log=None)
+    return prefix, result
+
+
+def test_simulated_assembly_reconstructs_genome(sim_run):
+    prefix, result = sim_run
+    stats = evaluate(prefix + ".contigs.fa", prefix + ".genome.fa", k=31)
+    assert stats["contigs"] >= 1
+    assert stats["genome_fraction"] > 95.0, stats
+    # random 5x sampling can split the assembly; require substantial contigs
+    assert stats["largest"] > 8000, stats
+
+
+def test_truth_overlap_recall(sim_run):
+    """Every sufficiently-long true overlap must appear in R."""
+    prefix, result = sim_run
+    truth = {}
+    with open(prefix + ".truth.tsv") as f:
+        next(f)
+        for line in f:
+            a, b, ov = line.split()
+            truth[(a, b)] = int(ov)
+    names = result.readset.names
+    found = set()
+    for i in range(result.R.nnz):
+        found.add((names[result.R.rows[i]], names[result.R.cols[i]]))
+    long_truth = {k for k, ov in truth.items() if ov >= 800}
+    recall = len(long_truth & found) / max(len(long_truth), 1)
+    assert recall > 0.95, (recall, len(long_truth))
+
+
+def test_paf_graph_cross_check(sim_run):
+    """The independent serial chain walker must agree with the pipeline's
+    contig count on the string graph PAF."""
+    prefix, result = sim_run
+    info = analyze(prefix + ".string.paf")
+    assert info["chains"] == len(result.contigs)
+    assert sum(info["chain_sizes"]) <= info["nodes"]
+
+
+def test_mtx_dumps(sim_run, tmp_path):
+    prefix, result = sim_run
+    write_mtx_kmer_matrix(result.A, str(tmp_path / "A.mtx"))
+    write_mtx_seed_matrix(result.B, str(tmp_path / "B.mtx"), brief=False)
+    write_mtx_overlap_matrix(result.R, str(tmp_path / "R.mtx"))
+    a = (tmp_path / "A.mtx").read_text().splitlines()
+    assert a[0].startswith("%%MatrixMarket")
+    assert int(a[1].split()[2]) == result.A.nnz
+
+    # run the seed checker tool on the dump
+    rc = subprocess.run(
+        [sys.executable, "/root/repo/tools/check_seeds.py",
+         prefix + ".fa", str(tmp_path / "B.mtx"), "17"],
+        capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    assert "0 bad" in rc.stdout

