@@ -1,0 +1,78 @@
+"""Distributed TR marking vs the single-device transitive reduction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elba_tpu.graph.tr import symmetricize, transitive_reduction
+from elba_tpu.parallel.mesh import make_mesh2d
+from elba_tpu.parallel.dist_tr import DistTRConfig, build_distributed_tr_step
+from tests.test_graph import mk_overlap_matrix, overlap_edge
+
+
+def chain_with_shortcuts(n, rng):
+    """Linear chain 0-1-2-...-(n-1) with forward overlaps + random 2-hop
+    shortcuts (transitive)."""
+    edges = []
+    for i in range(n - 1):
+        edges.append((i, i + 1, overlap_edge(400, 400, 1, 2)))
+    shortcuts = []
+    for i in range(0, n - 2, 3):
+        edges.append((i, i + 2, overlap_edge(800, 800, 1, 2)))
+        shortcuts.append((i, i + 2))
+    return mk_overlap_matrix(n, edges), shortcuts
+
+
+def test_dist_tr_marks_match_single_device(rng):
+    n = 24
+    R, shortcuts = chain_with_shortcuts(n, rng)
+    S = symmetricize(R)
+    S_reduced = transitive_reduction(R)
+    expected_kept = set(zip(S_reduced.rows.tolist(), S_reduced.cols.tolist()))
+
+    ndev = 4
+    mesh = make_mesh2d(jax.devices()[:ndev])
+    pr, pc = mesh.devices.shape
+    nproc = pr * pc
+    cap = 64
+    cfg = DistTRConfig(n=n, block_cap=cap, join_cap=4096, max_degree=16)
+
+    # distribute S entries to their 2D block owners
+    rows_per = -(-n // pr)
+    cols_per = -(-n // pc)
+    keys = np.full((nproc, cap), 2**62, np.int64)
+    dirs = np.full((nproc, cap), -1, np.int8)
+    sufs = np.zeros((nproc, cap), np.int32)
+    fill = np.zeros(nproc, int)
+    for e in range(S.nnz):
+        i, j = int(S.rows[e]), int(S.cols[e])
+        d = (i // rows_per) * pc + (j // cols_per)
+        keys[d, fill[d]] = i * n + j
+        dirs[d, fill[d]] = S.vals["direction"][e]
+        sufs[d, fill[d]] = S.vals["suffix"][e]
+        fill[d] += 1
+
+    step = build_distributed_tr_step(mesh, cfg)
+    marks, stats = step(jnp.asarray(keys), jnp.asarray(dirs),
+                        jnp.asarray(sufs))
+    marks = np.asarray(marks).reshape(nproc, cap)
+
+    # surviving edges = unmarked entries with a direction; symmetricize the
+    # marks like the reference (I += I^T) before comparing
+    marked_keys = set()
+    for d in range(nproc):
+        for s in range(cap):
+            if keys[d, s] < 2**62 and marks[d, s]:
+                i, j = divmod(int(keys[d, s]), n)
+                marked_keys.add((i, j))
+                marked_keys.add((j, i))
+    kept = set()
+    for e in range(S.nnz):
+        ij = (int(S.rows[e]), int(S.cols[e]))
+        if ij not in marked_keys and S.vals["direction"][e] != -1:
+            kept.add(ij)
+
+    assert kept == expected_kept
+    # sanity: the shortcuts were actually marked
+    for (i, j) in shortcuts:
+        assert (i, j) not in kept
