@@ -23,11 +23,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 
 
-def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
+def bench_xdrop(pairs=512, read_len=2048, overlap=1024, err=0.03,
                 band=128, k=17):
     import jax
-    import jax.numpy as jnp
-    from elba_tpu.align.xdrop_jax import xdrop_batch
+    from elba_tpu.align.xdrop_pallas import xdrop_pairs_pallas
 
     rng = np.random.default_rng(0xBE7C)
     L = read_len
@@ -54,19 +53,14 @@ def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
     for i in range(pairs):
         t[i, bt[i]:bt[i] + k] = q[i, bq[i]:bq[i] + k]
 
-    args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(lens),
-            jnp.asarray(lens), jnp.asarray(bq), jnp.asarray(bt))
-
     t0 = time.time()
-    res = xdrop_batch(*args, k, 1, -1, -1, 15, band)
-    jax.block_until_ready(res)
+    res = xdrop_pairs_pallas(q, t, lens, lens, bq, bt, k, 1, -1, -1, 15)
     compile_s = time.time() - t0
 
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        res = xdrop_batch(*args, k, 1, -1, -1, 15, band)
-        jax.block_until_ready(res)
+        res = xdrop_pairs_pallas(q, t, lens, lens, bq, bt, k, 1, -1, -1, 15)
         best = min(best, time.time() - t0)
     nscored = int((np.asarray(res["score"]) > 0).sum())
     return pairs / best, dict(batch=pairs, read_len=read_len,
@@ -99,15 +93,28 @@ def bench_spgemm():
 
 
 def bench_e2e():
-    from elba_tpu.params import PipelineParams
-    from elba_tpu.pipeline import run_pipeline
-    params = PipelineParams(k=17, lower_freq=2, upper_freq=8, xdrop=5,
-                            output_prefix="/tmp/elba_bench")
-    t0 = time.time()
-    result = run_pipeline("/root/reference/reads.fa", params, log=None)
-    dt = time.time() - t0
-    return dt, dict(reads=len(result.readset), alignments=result.R.nnz,
-                    string_edges=result.S.nnz, contigs=len(result.contigs))
+    # run in a CPU-pinned subprocess: the e2e fixture has 19kb reads whose
+    # kernel shape bucket is expensive to compile on-device, and a crashed
+    # TPU worker must not take down the headline metric
+    import subprocess
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import json, time\n"
+        "from elba_tpu.params import PipelineParams\n"
+        "from elba_tpu.pipeline import run_pipeline\n"
+        "p = PipelineParams(k=17, lower_freq=2, upper_freq=8, xdrop=5,\n"
+        "                   output_prefix='/tmp/elba_bench')\n"
+        "t0 = time.time()\n"
+        "r = run_pipeline('/root/reference/reads.fa', p, log=None)\n"
+        "print(json.dumps(dict(dt=time.time()-t0, reads=len(r.readset),\n"
+        "      alignments=r.R.nnz, string_edges=r.S.nnz,\n"
+        "      contigs=len(r.contigs))))\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1200,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    dt = info.pop("dt")
+    return dt, info
 
 
 def main():
