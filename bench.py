@@ -23,7 +23,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 
 
-def bench_xdrop(pairs=512, read_len=2048, overlap=1024, err=0.03,
+def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
                 band=128, k=17):
     import jax
     from elba_tpu.align.xdrop_pallas import xdrop_pairs_pallas

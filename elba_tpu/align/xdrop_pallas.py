@@ -1,48 +1,43 @@
-"""Fused Pallas TPU kernel for X-drop extension.
+"""Fused Pallas TPU kernel for X-drop extension, chunked-continuation form.
 
 The JAX while_loop implementation (xdrop_jax.py) is exact but dispatch-
 bound: every antidiagonal issues ~30 small XLA ops.  This kernel runs the
-entire extension loop inside one Pallas program, with the DP state resident
-in VMEM and the per-item control scalars in SMEM -- zero per-iteration
-dispatch overhead.
+whole extension loop inside one Pallas program with the DP state in VMEM
+and per-item control scalars in SMEM -- no per-iteration dispatch.
 
 Work decomposition
 ------------------
 Every alignment contributes two *items* (left extension, right extension).
-A left extension is converted into a right extension over reversed strings:
+A left extension is a right extension over reversed strings:
   left-extend(Q, T) at (begQ, begT)
     == right-extend(reverse(Q[:begQ]), reverse(T[:begT])) from (0, 0)
-so the kernel only implements the forward recurrence
-  posQ = c - 1,   posT = ad_no - c - 1          (item-string coordinates)
+so the kernel implements only the forward recurrence
+  posQ = c - 1,  posT = adn - c - 1            (item-string coordinates)
 (cf. the reference's symmetric formulas, XDropAligner.cpp:115-116).
 
-Layout: one grid step processes SUB=8 items.  Antidiagonal buffers are
-full column-indexed arrays [SUB, WBUF] (three of them, rotating by
-ad_no mod 3).  Mosaic requires lane-dimension accesses to be 128-aligned,
-so each iteration loads an ALIGNED 256-lane window around the live band
-(window base = min_col-1 rounded down to 128, asserted with
-pl.multiple_of); the +-1 column offsets of the DP recurrence become
-static in-register lane rolls, and the ad_no-dependent target-string
-window is extracted with one dynamic pltpu.roll per item.  Exactness
-never depends on band drift -- the only capacity limit is a live band
-wider than 128 columns, which sets the item's overflow flag (caller
-falls back to the numpy oracle).
+Shape discipline (the hard-won part)
+------------------------------------
+Mosaic compile time explodes superlinearly with VMEM buffer byte-width, so
+EVERY buffer here is fixed-size regardless of read length:
 
-Target strings are stored REVERSED around a fixed anchor
-(TSR[j] = t_item[TANCH - j], TANCH = lcap + 1) so the antidiagonal's
-target slice is an ascending contiguous read whose start stays in bounds
-for every live (ad_no, min_col) -- dynamic slices clamp at the edges, so
-in-bounds-by-construction is a correctness requirement, not an
-optimization.
+* Antidiagonal buffers are rings over column space (col % RING) with a
+  mirror write so ring wraparound is invisible; reads stay within 3
+  aligned window-steps of the live band, which the extent masks make safe.
+* Sequences are fed as fixed windows (QWIN columns of guaranteed
+  progress).  When an item's band would leave its windows, the item
+  *pauses*: the kernel emits its scalar state and its two live
+  antidiagonal windows, and the host driver re-invokes the kernel with
+  fresh windows (a handful of rounds for the longest reads).  Each item
+  carries its own antidiagonal offset, so fresh and resumed items share
+  one lockstep loop.
 
-Item parameter block (int32[NITEMS, 128], column index):
-  0: cols (lenQ_ext + 1)     3: gap   (clamped, XDropAligner.cpp:63-65)
-  1: rows (lenT_ext + 1)     4: mis   (clamped)
-  2: active at start         5: undef sentinel
-  7: mat                     6: init cell (gap or undef)
-  8: dropoff
-Outputs int32[NITEMS, 128]: col 0 best_ext_score, 1 best_ext_col,
-2 best_ext_row, 3 overflow flag.
+The target string is stored reversed around a per-item anchor
+(TW[j] = t_item[tanch - (toff + j)]) so the antidiagonal's target slice is
+one ascending 128-aligned read plus a dynamic in-register roll.
+
+Exactness: integer-identical to the oracle (align/xdrop_ref.py) for every
+live band up to BANDW=128 columns wide; wider bands set the overflow flag
+and the caller falls back to the oracle.
 """
 
 from __future__ import annotations
@@ -57,111 +52,175 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 8        # items per grid step (int32 sublane tile)
 BANDW = 128    # live-band capacity in lanes
-RING = 1024    # antidiagonal buffers are rings over column space (col % RING)
+WWIN = 2 * BANDW
+RING = 1024    # antidiagonal ring size (columns mod RING)
+QWIN = 2048    # query columns of progress guaranteed per round
+QW = QWIN + WWIN              # query window width
+TW = QWIN + WWIN + 3 * BANDW  # target window width (drifts both ways)
 NEG_BIG = -(2**31) + 2**20
+DONE, PAUSED = 0, 1
+
+# params columns
+(P_COLS, P_ROWS, P_ACTIVE, P_GAP, P_MIS, P_UNDEF, P_INIT, P_MAT, P_DROP,
+ P_RESUME, P_QOFF, P_TOFF, P_TANCH, P_DELTA, P_MC0, P_XC0, P_HI3,
+ P_BEST0, P_BEC0, P_BER0, P_BES0) = range(21)
+# sc (SMEM) columns
+(S_MC, S_XC, S_HI3, S_BEST, S_BEC, S_BER, S_BES, S_ACT, S_OVF, S_COLS,
+ S_ROWS, S_STATUS, S_ADN, S_DELTA) = range(14)
+# output columns
+(O_BES, O_BEC, O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3, O_BEST,
+ O_ADN) = range(10)
 
 
-def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
-            tanch):
-    """ads_ref: VMEM (3, SUB, RING + 2*BANDW) rotating antidiagonal ring
-    buffers: column c of antidiagonal a lives at ads[a % 3, s, c % RING]
-    (compile time must not scale with read length, so the buffers are
-    fixed-size rings; ring aliasing is safe because reads never reach
-    further than 3 aligned window steps behind the current base, and a
-    mirror write keeps [0, BANDW) equal to [RING, RING+BANDW)).
-    sc_ref: SMEM (SUB, 12) per-item scalar state:
-      0 min_col, 1 max_col, 2 (unused), 3 hi3, 4 best, 5 bec, 6 ber,
-      7 bes, 8 active, 9 overflow, 10 cols, 11 rows.
-    """
-    WWIN = 2 * BANDW  # aligned working window (live band <= BANDW)
+def _align(x):
+    return (x // BANDW) * BANDW
 
+
+def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
+            ads_ref, sc_ref):
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
-    lane1 = lane[0, :BANDW]  # (BANDW,) iota for init/output vectors
+    lane1 = lane[0, :BANDW]
+    lane2 = lane[0]
 
-    # ---- per-item init ----------------------------------------------------
+    # ---- per-item init ---------------------------------------------------
     for s in range(SUB):
-        cols = params_ref[s, 0]
-        rows = params_ref[s, 1]
-        active = params_ref[s, 2]
-        undef = params_ref[s, 5]
-        init_cell = params_ref[s, 6]
-        # Init only the first working window of each buffer: every later
-        # read stays inside a prior write window (the band windows advance
-        # by <= 128 aligned steps and reads are extent-masked), so cells
-        # beyond [0, 2*BANDW) never need initialization.  Full-width init
-        # stores made Mosaic compile time explode with read length.
-        lane2 = lane[0]  # (2*BANDW,) iota
-        undef_win = jnp.full((2 * BANDW,), 1, jnp.int32) * undef
-        ads_ref[2, s, pl.ds(0, 2 * BANDW)] = undef_win
-        # antidiag 0: col 0 = 0; antidiag 1: cols 0, 1 = init_cell
-        ads_ref[0, s, pl.ds(0, 2 * BANDW)] = jnp.where(lane2 == 0, 0, undef)
-        ads_ref[1, s, pl.ds(0, 2 * BANDW)] = jnp.where(
-            lane2 <= 1, init_cell, undef)
-        sc_ref[s, 0] = 1
-        sc_ref[s, 1] = 2
-        sc_ref[s, 2] = 0
-        sc_ref[s, 3] = 1                # hi3: antidiag 1 covers cols 0..1
-        sc_ref[s, 4] = 0
-        sc_ref[s, 5] = 0
-        sc_ref[s, 6] = 0
-        sc_ref[s, 7] = 0
-        sc_ref[s, 8] = active * jnp.where((cols > 1) & (rows > 1), 1, 0)
-        sc_ref[s, 9] = 0
-        sc_ref[s, 10] = cols
-        sc_ref[s, 11] = rows
+        cols = params_ref[s, P_COLS]
+        rows = params_ref[s, P_ROWS]
+        active = params_ref[s, P_ACTIVE]
+        undef = params_ref[s, P_UNDEF]
+        init_cell = params_ref[s, P_INIT]
+        resume = params_ref[s, P_RESUME]
+        undef_win = jnp.full((WWIN,), 1, jnp.int32) * undef
+
+        sc_ref[s, S_DELTA] = params_ref[s, P_DELTA]
+        sc_ref[s, S_COLS] = cols
+        sc_ref[s, S_ROWS] = rows
+        sc_ref[s, S_OVF] = 0
+        sc_ref[s, S_STATUS] = DONE
+
+        @pl.when(resume == 0)
+        def _(s=s, undef=undef, init_cell=init_cell, undef_win=undef_win):
+            # fresh: antidiag 0 = {col0: 0}, antidiag 1 = {col0,1: init}
+            ads_ref[2, s, pl.ds(0, WWIN)] = undef_win
+            ads_ref[0, s, pl.ds(0, WWIN)] = jnp.where(lane2 == 0, 0, undef)
+            ads_ref[1, s, pl.ds(0, WWIN)] = jnp.where(
+                lane2 <= 1, init_cell, undef)
+            sc_ref[s, S_MC] = 1
+            sc_ref[s, S_XC] = 2
+            sc_ref[s, S_HI3] = 1
+            sc_ref[s, S_BEST] = 0
+            sc_ref[s, S_BEC] = 0
+            sc_ref[s, S_BER] = 0
+            sc_ref[s, S_BES] = 0
+
+        @pl.when(resume != 0)
+        def _(s=s):
+            # resumed: restore scalars and seed the ring with the two live
+            # antidiagonal windows at their roles for adn_start
+            mc0 = params_ref[s, P_MC0]
+            adn0 = sc_ref[s, S_DELTA] + 2
+            base0 = _align(mc0 - 1)
+            slot0 = pl.multiple_of(base0 % RING, BANDW)
+            r2 = jnp.remainder(adn0 + 2, 3)
+            r1 = jnp.remainder(adn0 + 1, 3)
+            ad1w = st_in_ref[s, 0, :]
+            ad2w = st_in_ref[s, 1, :]
+            ads_ref[r1, s, pl.ds(slot0, WWIN)] = ad1w
+            ads_ref[r2, s, pl.ds(slot0, WWIN)] = ad2w
+
+            @pl.when(slot0 >= RING - BANDW)
+            def _():
+                ads_ref[r1, s, pl.ds(0, BANDW)] = ad1w[BANDW:]
+                ads_ref[r2, s, pl.ds(0, BANDW)] = ad2w[BANDW:]
+            sc_ref[s, S_MC] = mc0
+            sc_ref[s, S_XC] = params_ref[s, P_XC0]
+            sc_ref[s, S_HI3] = params_ref[s, P_HI3]
+            sc_ref[s, S_BEST] = params_ref[s, P_BEST0]
+            sc_ref[s, S_BEC] = params_ref[s, P_BEC0]
+            sc_ref[s, S_BER] = params_ref[s, P_BER0]
+            sc_ref[s, S_BES] = params_ref[s, P_BES0]
+
+        sc_ref[s, S_ACT] = active * jnp.where(
+            (cols > 1) & (rows > 1) &
+            (sc_ref[s, S_MC] < sc_ref[s, S_XC]), 1, 0)
+        sc_ref[s, S_ADN] = sc_ref[s, S_DELTA] + 2
 
     def nactive():
-        n = sc_ref[0, 8]
+        n = sc_ref[0, S_ACT]
         for s in range(1, SUB):
-            n = n + sc_ref[s, 8]
+            n = n + sc_ref[s, S_ACT]
         return n
 
     def body(carry):
         ad_no = carry[0]
-        r3 = jnp.remainder(ad_no, 3)
-        r2 = jnp.remainder(ad_no + 2, 3)
-        r1 = jnp.remainder(ad_no + 1, 3)
 
+        # ---- pause scan: stop items whose band leaves the seq windows ----
+        for s in range(SUB):
+            @pl.when(sc_ref[s, S_ACT] > 0)
+            def _(s=s):
+                adn = ad_no + sc_ref[s, S_DELTA]
+                base = _align(sc_ref[s, S_MC] - 1)
+                qoff = params_ref[s, P_QOFF]
+                toff = params_ref[s, P_TOFF]
+                tanch = params_ref[s, P_TANCH]
+                tb = _align(tanch - adn + 1 + base)
+                pause = (base + WWIN > qoff + QW) | (tb < toff) | \
+                    (tb + 3 * BANDW > toff + TW)
+
+                @pl.when(pause)
+                def _(s=s, adn=adn):
+                    sc_ref[s, S_STATUS] = PAUSED
+                    sc_ref[s, S_ACT] = 0
+                    sc_ref[s, S_ADN] = adn
+
+        # ---- gather per-item band + sequence windows ---------------------
         rows_a2 = []
         rows_a1 = []
         rows_q = []
         rows_t = []
-        basev = []
-        slotv = []
-        l3v = []
-        mcv = []
-        xcv = []
-        hi2v = []
+        basev, slotv, l3v, mcv, xcv, hi2v, adnv, r3v = \
+            [], [], [], [], [], [], [], []
         for s in range(SUB):
-            act = sc_ref[s, 8]
-            mc = jnp.where(act > 0, sc_ref[s, 0], 1)
-            xc = jnp.where(act > 0, sc_ref[s, 1], 2)
+            act = sc_ref[s, S_ACT]
+            adn = ad_no + sc_ref[s, S_DELTA]
+            mc = jnp.where(act > 0, sc_ref[s, S_MC], 1)
+            xc = jnp.where(act > 0, sc_ref[s, S_XC], 2)
             l3 = mc - 1
-            base = pl.multiple_of((l3 // BANDW) * BANDW, BANDW)
+            base = pl.multiple_of(_align(l3), BANDW)
             slot = pl.multiple_of(base % RING, BANDW)
-            # aligned 256-lane windows over ring slots [slot, slot+WWIN)
+            r3 = jnp.remainder(adn, 3)
+            r2 = jnp.remainder(adn + 2, 3)
+            r1 = jnp.remainder(adn + 1, 3)
             rows_a2.append(ads_ref[r2, s, pl.ds(slot, WWIN)])
             rows_a1.append(ads_ref[r1, s, pl.ds(slot, WWIN)])
 
-            rows_q.append(qs_ref[s, pl.ds(base, WWIN)])
-            # target: col c needs TSR[(tanch - ad_no + 1) + c]; extract the
-            # unaligned window with an aligned 3-tile load + dynamic roll
-            jcb = tanch - ad_no + 1 + base
-            tb = pl.multiple_of((jcb // BANDW) * BANDW, BANDW)
+            qoff = jnp.where(act > 0, params_ref[s, P_QOFF], 0)
+            qs_start = pl.multiple_of(
+                jnp.clip(base - qoff, 0, QW - WWIN), BANDW)
+            rows_q.append(qw_ref[s, pl.ds(qs_start, WWIN)])
+
+            tanch = params_ref[s, P_TANCH]
+            toff = jnp.where(act > 0, params_ref[s, P_TOFF], 0)
+            jcb = tanch - adn + 1 + base
+            tb = _align(jcb)
             offt = jcb - tb
-            t3 = tsr_ref[s, pl.ds(tb, 3 * BANDW)].astype(jnp.int32)
+            ts_start = pl.multiple_of(
+                jnp.clip(tb - toff, 0, TW - 3 * BANDW), BANDW)
+            t3 = tw_ref[s, pl.ds(ts_start, 3 * BANDW)].astype(jnp.int32)
             trow = pltpu.roll(t3.reshape(1, 3 * BANDW),
                               3 * BANDW - offt, 1)[0, :WWIN]
             rows_t.append(trow)
+
             basev.append(base)
             slotv.append(slot)
             l3v.append(l3)
             mcv.append(mc)
             xcv.append(xc)
-            # extent of antidiag ad_no-1 = hi3 stored at end of last iter
-            hi2v.append(sc_ref[s, 3])
+            hi2v.append(sc_ref[s, S_HI3])
+            adnv.append(adn)
+            r3v.append(r3)
 
-        a2 = jnp.stack(rows_a2)          # value at col c = lane c-base
+        a2 = jnp.stack(rows_a2)
         a1 = jnp.stack(rows_a1)
         qv = jnp.stack(rows_q)
         tv = jnp.stack(rows_t)
@@ -170,18 +229,20 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
         mc = jnp.stack(mcv).reshape(SUB, 1)
         xc = jnp.stack(xcv).reshape(SUB, 1)
         hi2 = jnp.stack(hi2v).reshape(SUB, 1)
+        adnc = jnp.stack(adnv).reshape(SUB, 1)
 
         # +-1 column offsets as static lane rolls (lane 0 wraps: col base-1
         # is never live because min_col-1 >= base)
         a2m1 = pltpu.roll(a2, 1, 1)
         a1m1 = pltpu.roll(a1, 1, 1)
 
-        gapv = params_ref[:, 3].reshape(SUB, 1)
-        misv = params_ref[:, 4].reshape(SUB, 1)
-        undefv = params_ref[:, 5].reshape(SUB, 1)
-        matv = params_ref[:, 7].reshape(SUB, 1)
-        bestv = jnp.stack([sc_ref[s, 4] for s in range(SUB)]).reshape(SUB, 1)
-        dropv = params_ref[:, 8].reshape(SUB, 1)
+        gapv = params_ref[:, P_GAP].reshape(SUB, 1)
+        misv = params_ref[:, P_MIS].reshape(SUB, 1)
+        undefv = params_ref[:, P_UNDEF].reshape(SUB, 1)
+        matv = params_ref[:, P_MAT].reshape(SUB, 1)
+        bestv = jnp.stack(
+            [sc_ref[s, S_BEST] for s in range(SUB)]).reshape(SUB, 1)
+        dropv = params_ref[:, P_DROP].reshape(SUB, 1)
 
         c = basec + lane
         inner = (c >= mc) & (c < xc)
@@ -191,10 +252,10 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
         live = temp >= bestv - dropv
         cell = jnp.where(live & inner, temp, undefv)
 
-        gval = ad_no * gapv
+        gval = adnc * gapv
         bcond = gval > bestv - dropv
         b0 = jnp.where(bcond & (l3c == 0), gval, undefv)
-        b1 = jnp.where(bcond & (ad_no == xc), gval, undefv)
+        b1 = jnp.where(bcond & (adnc == xc), gval, undefv)
         ad3 = jnp.where(c == l3c, b0, cell)
         ad3 = jnp.where(c == xc, b1, ad3)
 
@@ -202,6 +263,8 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
             gval.reshape(SUB),
             jnp.max(jnp.where(inner & live, temp, NEG_BIG), axis=1))
 
+        # best-extension update: LAST column in scan order whose score
+        # beats the previous global best (reference quirk, :132-138)
         upd = inner & (temp > bestv)
         lastc = jnp.max(jnp.where(upd, c, -1), axis=1)
         last_temp = jnp.max(
@@ -223,119 +286,129 @@ def _kernel(params_ref, qs_ref, tsr_ref, out_ref, ads_ref, sc_ref, *,
 
         # ---- write back ---------------------------------------------------
         for s in range(SUB):
-            act = sc_ref[s, 8]
+            act = sc_ref[s, S_ACT]
 
             @pl.when(act > 0)
-            def _(s=s, ad3=ad3, slotv=slotv):
+            def _(s=s, ad3=ad3):
                 slot = slotv[s]
-                ads_ref[r3, s, pl.ds(slot, WWIN)] = ad3[s, :]
+                ads_ref[r3v[s], s, pl.ds(slot, WWIN)] = ad3[s, :]
 
-                # ring wraparound: the pad [RING, RING+BANDW) must mirror
-                # [0, BANDW) -- copy the window's upper half down when the
-                # write lands at the top of the ring
+                # ring wraparound: keep [0, BANDW) mirroring the pad
                 @pl.when(slot >= RING - BANDW)
                 def _():
-                    ads_ref[r3, s, pl.ds(0, BANDW)] = ad3[s, BANDW:]
-                sc_ref[s, 3] = sc_ref[s, 1]              # hi3 = creation max
-                best_old = sc_ref[s, 4]
+                    ads_ref[r3v[s], s, pl.ds(0, BANDW)] = ad3[s, BANDW:]
+
+                adn = adnv[s]
+                sc_ref[s, S_HI3] = sc_ref[s, S_XC]
                 hit = lastc[s] >= 0
-                sc_ref[s, 5] = jnp.where(hit, lastc[s], sc_ref[s, 5])
-                sc_ref[s, 6] = jnp.where(hit, ad_no - lastc[s], sc_ref[s, 6])
-                sc_ref[s, 7] = jnp.where(hit, last_temp[s], sc_ref[s, 7])
-                sc_ref[s, 4] = jnp.maximum(best_old, ad_best[s])
-                new_min0 = jnp.minimum(first_stop[s], sc_ref[s, 3] + 1)
-                new_min0 = jnp.maximum(new_min0, sc_ref[s, 0])
+                sc_ref[s, S_BEC] = jnp.where(hit, lastc[s], sc_ref[s, S_BEC])
+                sc_ref[s, S_BER] = jnp.where(
+                    hit, adn - lastc[s], sc_ref[s, S_BER])
+                sc_ref[s, S_BES] = jnp.where(
+                    hit, last_temp[s], sc_ref[s, S_BES])
+                sc_ref[s, S_BEST] = jnp.maximum(
+                    sc_ref[s, S_BEST], ad_best[s])
+                new_min0 = jnp.minimum(first_stop[s], sc_ref[s, S_HI3] + 1)
+                new_min0 = jnp.maximum(new_min0, sc_ref[s, S_MC])
                 new_max0 = jnp.maximum(dmax[s] + 1, l3v[s]) + 1
                 new_min = jnp.maximum(new_min0,
-                                      ad_no + 2 - sc_ref[s, 11])
-                new_max = jnp.minimum(new_max0, sc_ref[s, 10])
-                sc_ref[s, 0] = new_min
-                sc_ref[s, 1] = new_max
-                ov = sc_ref[s, 9] | ovf_now[s]
-                sc_ref[s, 9] = ov
-                sc_ref[s, 8] = jnp.where(
+                                      adn + 2 - sc_ref[s, S_ROWS])
+                new_max = jnp.minimum(new_max0, sc_ref[s, S_COLS])
+                sc_ref[s, S_MC] = new_min
+                sc_ref[s, S_XC] = new_max
+                ov = sc_ref[s, S_OVF] | ovf_now[s]
+                sc_ref[s, S_OVF] = ov
+                sc_ref[s, S_ACT] = jnp.where(
                     (new_min < new_max) & (ov == 0), 1, 0)
-
-        if globals().get("_DEBUG"):
-            pl.debug_print(
-                "ad={} mc={} xc={} best={} bes={} act={} t64={} a2_64={} a1_64={} q64={} t_64={}",
-                ad_no, sc_ref[1, 0], sc_ref[1, 1], sc_ref[1, 4], sc_ref[1, 7],
-                sc_ref[1, 8], temp[1, 64], a2[1, 64], a1[1, 64], qv[1, 64],
-                tv[1, 64])
+                sc_ref[s, S_ADN] = adn + 1
 
         return (ad_no + 1, nactive())
 
     jax.lax.while_loop(lambda cy: cy[1] > 0, body,
                        (jnp.int32(2), nactive()))
 
+    # ---- emit outputs + continuation state --------------------------------
     for s in range(SUB):
-        v = jnp.where(lane1 == 0, sc_ref[s, 7], 0)
-        v = jnp.where(lane1 == 1, sc_ref[s, 5], v)
-        v = jnp.where(lane1 == 2, sc_ref[s, 6], v)
-        v = jnp.where(lane1 == 3, sc_ref[s, 9], v)
-        out_ref[s, :BANDW] = v
+        v = jnp.where(lane1 == O_BES, sc_ref[s, S_BES], 0)
+        v = jnp.where(lane1 == O_BEC, sc_ref[s, S_BEC], v)
+        v = jnp.where(lane1 == O_BER, sc_ref[s, S_BER], v)
+        v = jnp.where(lane1 == O_OVF, sc_ref[s, S_OVF], v)
+        v = jnp.where(lane1 == O_STATUS, sc_ref[s, S_STATUS], v)
+        v = jnp.where(lane1 == O_MC, sc_ref[s, S_MC], v)
+        v = jnp.where(lane1 == O_XC, sc_ref[s, S_XC], v)
+        v = jnp.where(lane1 == O_HI3, sc_ref[s, S_HI3], v)
+        v = jnp.where(lane1 == O_BEST, sc_ref[s, S_BEST], v)
+        v = jnp.where(lane1 == O_ADN, sc_ref[s, S_ADN], v)
+        out_ref[s, :] = v
+
+        adn_e = sc_ref[s, S_ADN]
+        base_e = _align(sc_ref[s, S_MC] - 1)
+        slot_e = pl.multiple_of(base_e % RING, BANDW)
+        r2e = jnp.remainder(adn_e + 2, 3)
+        r1e = jnp.remainder(adn_e + 1, 3)
+        st_out_ref[s, 0, :] = ads_ref[r1e, s, pl.ds(slot_e, WWIN)]
+        st_out_ref[s, 1, :] = ads_ref[r2e, s, pl.ds(slot_e, WWIN)]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _xdrop_extend_items_x32(params, qs, tsr, lcap: int,
-                            interpret: bool = False):
-    """Run the extension kernel over a worklist of items.
-
-    params: int32[N, 128]  (see module docstring; N multiple of SUB)
-    qs:     int8[N, WQ]    query item strings, QS[s, j] = q_item[j-1]
-    tsr:    int8[N, WT]    reversed target item strings
-    lcap:   max item string length (static)
-    Returns int32[N, 128] outputs.
-    """
+@functools.partial(jax.jit, static_argnums=(4,))
+def _extend_rounds_x32(params, qw, tw, st_in, interpret: bool = False):
     N = params.shape[0]
-    def rup(x, m=128):
-        return ((x + m - 1) // m) * m
-    WBUF = RING + 2 * BANDW
     grid = (N // SUB,)
-    out = pl.pallas_call(
-        functools.partial(_kernel, tanch=lcap + 129),
+    out, st_out = pl.pallas_call(
+        _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((SUB, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, qs.shape[1]), lambda b: (b, 0),
+            pl.BlockSpec((SUB, QW), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, tsr.shape[1]), lambda b: (b, 0),
+            pl.BlockSpec((SUB, TW), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 2, WWIN), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SUB, 128), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 128), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((SUB, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 2, WWIN), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, 128), jnp.int32),
+            jax.ShapeDtypeStruct((N, 2, WWIN), jnp.int32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((3, SUB, WBUF), jnp.int32),
-            pltpu.SMEM((SUB, 12), jnp.int32),
+            pltpu.VMEM((3, SUB, RING + 2 * BANDW), jnp.int32),
+            pltpu.SMEM((SUB, 16), jnp.int32),
         ],
         interpret=interpret,
-    )(params, qs, tsr)
-    return out
+    )(params, qw, tw, st_in)
+    return out, st_out
 
 
-def xdrop_extend_items(params, qs, tsr, lcap: int, interpret: bool = False):
-    # The kernel is entirely 32-bit; trace it with x64 disabled so weak-typed
-    # literals never promote to int64 (Mosaic has no 64-bit support and its
-    # int64->int32 convert lowering recurses forever).
+def xdrop_extend_items_rounds(params, qw, tw, st_in, interpret=False):
+    # the kernel is all-32-bit; trace with x64 disabled (int64 in a Mosaic
+    # kernel makes the convert-type lowering recurse forever)
     with jax.enable_x64(False):
-        return _xdrop_extend_items_x32(params, qs, tsr, lcap, interpret)
+        return _extend_rounds_x32(params, qw, tw, st_in, interpret)
 
-
-# ---------------------------------------------------------------------------
-# pair-level driver: pairs -> items -> kernel -> combined results
-# ---------------------------------------------------------------------------
 
 INT_MIN = -(2**31)
 
 
-def _prep_items(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap, dropoff,
-                bandw=BANDW):
-    """Vectorized numpy prep: strand detection, seed verification, and the
-    two extension items per pair (reference xdrop_aligner setup,
-    XDropAligner.cpp:232-268)."""
+def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
+                       dropoff, interpret=False):
+    """Pallas equivalent of xdrop_jax.xdrop_batch on numpy inputs.
+    Returns dict of numpy arrays (score/begQ/endQ/begT/endT/rc/overflow).
+
+    Drives the chunked kernel: items that pause (band leaving the
+    sequence windows) are re-invoked with fresh windows until done.
+    """
     P, L = q.shape
+    lenQ = lenQ.astype(np.int64)
+    lenT = lenT.astype(np.int64)
+    begQ = begQ.astype(np.int64)
+    begT = begT.astype(np.int64)
     ar = np.arange(P)
 
     inb = (begQ >= 0) & (begQ + k <= lenQ) & (begT >= 0) & (begT + k <= lenT)
@@ -345,7 +418,6 @@ def _prep_items(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap, dropoff,
     rc = q[ar, np.clip(bq + (k >> 1), 0, L - 1)] != \
         t[ar, np.clip(bt + (k >> 1), 0, L - 1)]
 
-    # strand-effective target
     j = np.arange(L)
     ridx = np.clip(lenT[:, None] - 1 - j[None, :], 0, L - 1)
     t_rc = (3 - np.take_along_axis(t, ridx, axis=1)).astype(t.dtype)
@@ -353,18 +425,19 @@ def _prep_items(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap, dropoff,
     begT_s = np.where(rc, lenT - begT - k, begT)
 
     offs = np.arange(k)
-    qw = np.take_along_axis(q, np.clip(bq[:, None] + offs[None, :], 0, L - 1),
-                            axis=1)
-    tw = np.take_along_axis(
+    qwd = np.take_along_axis(q, np.clip(bq[:, None] + offs[None, :], 0, L - 1),
+                             axis=1)
+    twd = np.take_along_axis(
         t_eff, np.clip(begT_s[:, None] + offs[None, :], 0, L - 1), axis=1)
-    seed_ok = (qw == tw).all(axis=1) & inb & nz
+    seed_ok = (qwd == twd).all(axis=1) & inb & nz
 
     endQ = begQ + k
     endT_s = begT_s + k
 
-    # item geometry: [left, right] per pair, interleaved item order
-    cols = np.empty(2 * P, np.int64)
-    rows = np.empty(2 * P, np.int64)
+    # item geometry: [left, right] interleaved
+    n_items = 2 * P
+    cols = np.empty(n_items, np.int64)
+    rows = np.empty(n_items, np.int64)
     cols[0::2] = begQ + 1
     rows[0::2] = begT_s + 1
     cols[1::2] = lenQ - endQ + 1
@@ -372,85 +445,126 @@ def _prep_items(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap, dropoff,
     cols = np.maximum(cols, 1)
     rows = np.maximum(rows, 1)
 
-    lcap = int(max(cols.max(), rows.max()))
-    # round the item capacity up to a power of two so the kernel compiles
-    # for a handful of shapes only (compile results are disk-cached)
-    lcap = max(512, 1 << int(np.ceil(np.log2(lcap))))
-    tanch = lcap + 129
+    # per-item reversed-target anchor: > rows, 128-aligned slack
+    tanch = (rows + 255) // 128 * 128 + 128
 
-    def rup(x, m=128):
-        return ((x + m - 1) // m) * m
-
-    WQ = rup(lcap + 2) + 2 * bandw
-    WT = rup(2 * lcap + 130) + 4 * bandw
-
-    # item strings (see kernel docstring for the index algebra):
-    # QS[j] = item_q[j-1]; TSR[j] = item_t[tanch - j]
-    jq = np.arange(WQ)[None, :]
-    jt = np.arange(WT)[None, :]
-    qs = np.empty((2 * P, WQ), np.int8)
-    tsr = np.empty((2 * P, WT), np.int8)
-    qs[0::2] = np.take_along_axis(
-        q, np.clip(begQ[:, None] - jq, 0, L - 1), axis=1)
-    tsr[0::2] = np.take_along_axis(
-        t_eff, np.clip(begT_s[:, None] - 1 - tanch + jt, 0, L - 1), axis=1)
-    qs[1::2] = np.take_along_axis(
-        q, np.clip(endQ[:, None] + jq - 1, 0, L - 1), axis=1)
-    tsr[1::2] = np.take_along_axis(
-        t_eff, np.clip(endT_s[:, None] + tanch - jt, 0, L - 1), axis=1)
-
-    # per-item clamped scores (reference :61-67)
+    # per-item clamped scores (reference XDropAligner.cpp:61-67)
     ln = 2 * np.maximum(cols, rows)
     min_err = -((2**31) // ln)
-    g = np.maximum(gap, min_err)
-    m = np.maximum(mis, min_err)
-    undef = (INT_MIN - g - m).astype(np.int64)
-    init_cell = np.where(-g > dropoff, undef, g)
+    g_ = np.maximum(gap, min_err)
+    m_ = np.maximum(mis, min_err)
+    undef = (INT_MIN - g_ - m_).astype(np.int64)
+    init_cell = np.where(-g_ > dropoff, undef, g_)
 
-    n_items = max(16, 1 << int(np.ceil(np.log2(len(cols)))))
-    npad = n_items - len(cols)
-    params = np.zeros((n_items, 128), np.int32)
-    params[: 2 * P, 0] = cols
-    params[: 2 * P, 1] = rows
-    params[: 2 * P, 2] = np.repeat(seed_ok, 2)
-    params[: 2 * P, 3] = g
-    params[: 2 * P, 4] = m
-    params[: 2 * P, 5] = undef
-    params[: 2 * P, 6] = init_cell
-    params[: 2 * P, 7] = mat
-    params[: 2 * P, 8] = dropoff
-    if npad:
-        qs = np.concatenate([qs, np.zeros((npad, WQ), np.int8)])
-        tsr = np.concatenate([tsr, np.zeros((npad, WT), np.int8)])
-        params[2 * P:, 5] = -1  # harmless undef for padding items
+    def build_windows(item_ids, qoffs, toffs):
+        """Materialize QW/TW windows (numpy gathers).
 
-    meta = dict(rc=rc, seed_ok=seed_ok, begT_s=begT_s, endT_s=endT_s,
-                endQ=endQ, lcap=lcap)
-    return params, qs, tsr, meta
+        Virtual strings: QS[j] = q_item[j-1]; TSR[j] = t_item[tanch - j].
+          left : q_item[x] = q[begQ-1-x], t_item[x] = t_eff[begT_s-1-x]
+          right: q_item[x] = q[endQ+x],   t_item[x] = t_eff[endT_s+x]
+        """
+        pair = item_ids // 2
+        is_left = (item_ids % 2) == 0
+        xs = qoffs[:, None] + np.arange(QW)[None, :] - 1
+        src_q = np.where(is_left[:, None],
+                         begQ[pair][:, None] - 1 - xs,
+                         endQ[pair][:, None] + xs)
+        qwv = np.take_along_axis(q[pair], np.clip(src_q, 0, L - 1), axis=1)
+        xt = tanch[item_ids][:, None] - (toffs[:, None] +
+                                         np.arange(TW)[None, :])
+        src_t = np.where(is_left[:, None],
+                         begT_s[pair][:, None] - 1 - xt,
+                         endT_s[pair][:, None] + xt)
+        twv = np.take_along_axis(t_eff[pair], np.clip(src_t, 0, L - 1),
+                                 axis=1)
+        return qwv.astype(np.int8), twv.astype(np.int8)
 
+    def window_toff(tb):
+        # tb drifts downward (one per antidiagonal); park the live slice
+        # near the window's tail
+        return np.maximum((tb + 3 * BANDW - TW) // 128 * 128, 0)
 
-def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
-                       dropoff, interpret=False):
-    """Pallas-kernel equivalent of xdrop_jax.xdrop_batch on numpy inputs.
-    Returns dict of numpy arrays (score/begQ/endQ/begT/endT/rc/overflow)."""
-    import jax.numpy as jnp
+    # ---- continuation rounds ---------------------------------------------
+    qoffs = np.zeros(n_items, np.int64)
+    tb0 = (tanch - 1) // 128 * 128
+    toffs = window_toff(tb0)
+    resume = np.zeros(n_items, np.int32)
+    saved = np.zeros((n_items, 8), np.int64)
+    state = np.zeros((n_items, 2, WWIN), np.int32)
+    final = np.zeros((n_items, 10), np.int64)
+    live = np.flatnonzero(np.repeat(seed_ok, 2))
 
-    P = q.shape[0]
-    params, qs, tsr, meta = _prep_items(
-        q, t, lenQ.astype(np.int64), lenT.astype(np.int64),
-        begQ.astype(np.int64), begT.astype(np.int64),
-        k, mat, mis, gap, dropoff)
-    out = np.asarray(xdrop_extend_items(
-        jnp.asarray(params), jnp.asarray(qs), jnp.asarray(tsr),
-        int(meta["lcap"]), interpret))
+    rounds = 0
+    while len(live) > 0 and rounds < 64:
+        rounds += 1
+        nsel = len(live)
+        npad = max(16, 1 << int(np.ceil(np.log2(nsel))))
+        par = np.zeros((npad, 128), np.int32)
+        par[:nsel, P_COLS] = cols[live]
+        par[:nsel, P_ROWS] = rows[live]
+        par[:nsel, P_ACTIVE] = 1
+        par[:nsel, P_GAP] = g_[live]
+        par[:nsel, P_MIS] = m_[live]
+        par[:nsel, P_UNDEF] = undef[live]
+        par[:nsel, P_INIT] = init_cell[live]
+        par[:nsel, P_MAT] = mat
+        par[:nsel, P_DROP] = dropoff
+        par[:nsel, P_RESUME] = resume[live]
+        par[:nsel, P_QOFF] = qoffs[live]
+        par[:nsel, P_TOFF] = toffs[live]
+        par[:nsel, P_TANCH] = tanch[live]
+        par[:nsel, P_DELTA] = np.where(resume[live] > 0,
+                                       saved[live, 7] - 2, 0)
+        par[:nsel, P_MC0] = saved[live, 0]
+        par[:nsel, P_XC0] = saved[live, 1]
+        par[:nsel, P_HI3] = saved[live, 2]
+        par[:nsel, P_BEST0] = saved[live, 3]
+        par[:nsel, P_BEC0] = saved[live, 4]
+        par[:nsel, P_BER0] = saved[live, 5]
+        par[:nsel, P_BES0] = saved[live, 6]
 
-    ls, lc, lr = out[0:2 * P:2, 0], out[0:2 * P:2, 1], out[0:2 * P:2, 2]
-    rs, rcol, rrow = out[1:2 * P:2, 0], out[1:2 * P:2, 1], out[1:2 * P:2, 2]
-    ovf = (out[0:2 * P:2, 3] | out[1:2 * P:2, 3]) != 0
+        qwv, twv = build_windows(live, qoffs[live], toffs[live])
+        qwv = np.concatenate([qwv, np.zeros((npad - nsel, QW), np.int8)])
+        twv = np.concatenate([twv, np.zeros((npad - nsel, TW), np.int8)])
+        sti = np.concatenate(
+            [state[live],
+             np.zeros((npad - nsel, 2, WWIN), np.int32)]).astype(np.int32)
 
-    seed_ok = meta["seed_ok"]
-    rc = meta["rc"]
-    begT_s, endT_s, endQ = meta["begT_s"], meta["endT_s"], meta["endQ"]
+        out, st_out = xdrop_extend_items_rounds(
+            jnp.asarray(par), jnp.asarray(qwv), jnp.asarray(twv),
+            jnp.asarray(sti), interpret)
+        out = np.asarray(out)[:nsel]
+        st_out = np.asarray(st_out)[:nsel]
+
+        final[live, :] = out[:, :10]
+        paused = out[:, O_STATUS] == PAUSED
+        still = live[paused]
+        if len(still):
+            idx = np.flatnonzero(paused)
+            state[still] = st_out[idx]
+            saved[still, 0] = out[idx, O_MC]
+            saved[still, 1] = out[idx, O_XC]
+            saved[still, 2] = out[idx, O_HI3]
+            saved[still, 3] = out[idx, O_BEST]
+            saved[still, 4] = out[idx, O_BEC]
+            saved[still, 5] = out[idx, O_BER]
+            saved[still, 6] = out[idx, O_BES]
+            saved[still, 7] = out[idx, O_ADN]
+            resume[still] = 1
+            base_p = (out[idx, O_MC] - 1) // 128 * 128
+            qoffs[still] = base_p
+            tb_p = (tanch[still] - out[idx, O_ADN] + 1 + base_p) \
+                // 128 * 128
+            toffs[still] = window_toff(tb_p)
+        live = still
+
+    ls, lc, lr = final[0::2, O_BES], final[0::2, O_BEC], final[0::2, O_BER]
+    rs, rcol, rrow = final[1::2, O_BES], final[1::2, O_BEC], \
+        final[1::2, O_BER]
+    ovf = ((final[0::2, O_OVF] | final[1::2, O_OVF]) != 0)
+    if rounds >= 64 and len(live):
+        ovf = ovf.copy()
+        ovf[np.unique(live // 2)] = True  # runaway: fall back to oracle
 
     begQ_e = begQ - lc
     begT_e = begT_s - lr
@@ -495,11 +609,11 @@ def align_batch_pallas(readset, qi, ti, seedQ, seedT, k, mat, mis, gap,
         sel = order[lo:lo + batch]
         qidx = (qi[sel] - s0).astype(np.int64)
         tidx = (ti[sel] - s0).astype(np.int64)
-        P = len(sel)
+        Pn = len(sel)
         Lmax = int(max(lens[qidx].max(), lens[tidx].max()))
-        qb = np.zeros((P, Lmax), np.int8)
-        tb = np.zeros((P, Lmax), np.int8)
-        for r in range(P):
+        qb = np.zeros((Pn, Lmax), np.int8)
+        tb = np.zeros((Pn, Lmax), np.int8)
+        for r in range(Pn):
             qb[r, :lens[qidx[r]]] = readset.read_codes(int(qidx[r]))
             tb[r, :lens[tidx[r]]] = readset.read_codes(int(tidx[r]))
         res = xdrop_pairs_pallas(

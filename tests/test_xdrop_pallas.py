@@ -113,3 +113,17 @@ def test_ring_wraparound_long_extension(rng):
         seed = (1500, 1000)
     check_against_oracle([(q, t, seed[0], seed[1]),
                           (genome[:3000], genome[:3000], 2900, 2900)], k)
+
+
+def test_multi_round_continuation(rng):
+    """Extensions spanning many QWIN chunks (10kb) must stay exact."""
+    k = 17
+    genome = random_dna(rng, 22000)
+    q = mutate(rng, genome[0:10000], 0.02, 0.01)
+    t = mutate(rng, genome[1000:11000], 0.02, 0.01)
+    seed = find_shared_seed(q, t, k)
+    if seed is None:
+        q = genome[0:10000]
+        t = genome[1000:11000]
+        seed = (5000, 4000)
+    check_against_oracle([(q, t, seed[0], seed[1])], k)
