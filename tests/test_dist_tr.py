@@ -76,3 +76,37 @@ def test_dist_tr_marks_match_single_device(rng):
     # sanity: the shortcuts were actually marked
     for (i, j) in shortcuts:
         assert (i, j) not in kept
+
+
+def test_distributed_cc_matches_single_device(rng):
+    import jax
+    from elba_tpu.parallel.mesh import make_mesh2d
+    from elba_tpu.parallel.dist_cc import distributed_cc
+    from elba_tpu.graph.cc import connected_components
+
+    mesh = make_mesh2d(jax.devices()[:8])
+    for trial in range(3):
+        n = int(rng.integers(20, 120))
+        m = int(rng.integers(10, 200))
+        rows = rng.integers(0, n, m)
+        cols = rng.integers(0, n, m)
+        a1, c1 = connected_components(rows, cols, n)
+        a2, c2 = distributed_cc(mesh, n, rows, cols)
+        assert c1 == c2
+        assert np.array_equal(a1, a2)
+
+
+def test_distributed_cc_long_chain(rng):
+    """Chains need the pointer-jumping path to converge quickly."""
+    import jax
+    from elba_tpu.parallel.mesh import make_mesh2d
+    from elba_tpu.parallel.dist_cc import distributed_cc
+    from elba_tpu.graph.cc import connected_components
+
+    mesh = make_mesh2d(jax.devices()[:4])
+    n = 300
+    rows = np.arange(n - 1)
+    cols = np.arange(1, n)
+    a1, c1 = connected_components(rows, cols, n)
+    a2, c2 = distributed_cc(mesh, n, rows, cols)
+    assert c2 == 1 and np.array_equal(a1, a2)

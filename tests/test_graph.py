@@ -225,3 +225,28 @@ def test_read_to_contigs_branch_removal():
     S = symmetricize(R)
     a, nc = read_to_contigs(S)
     assert nc == 4  # all isolated after branch removal
+
+
+def test_chimera_pileup_and_trim():
+    from elba_tpu.graph.chimera import (read_pileups, trimmed_interval,
+                                        prune_chimeras, MIN_SPAN)
+    # read 1 covered [0,4000) by two overlaps, read 2 only briefly
+    edges = [
+        (0, 1, dict(begT=0, endT=3000, lenT=4000)),
+        (2, 1, dict(begT=1000, endT=4000, lenT=4000)),
+        (0, 2, dict(begT=100, endT=200, lenT=4000)),
+    ]
+    R = mk_overlap_matrix(3, edges)
+    lengths = np.array([4000, 4000, 4000])
+    piles = read_pileups(R, lengths)
+    assert piles[1][0] == 1 and piles[1][1500] == 2 and piles[1][3500] == 1
+    # densest window: extending past col 3000 (coverage drops to 1) lowers
+    # the running average, so the best window ends at 2999
+    assert trimmed_interval(piles[1], 1) == (0, 2999)
+    # threshold 2 run is [1000, 3000) = 2000bp < MIN_SPAN -> no window
+    assert trimmed_interval(piles[1], 2) is None
+    # literal reference behavior returns the trailing run
+    assert trimmed_interval(piles[1], 1, literal=True) == (0, 3999)
+    # read 2: only a 100bp window -> chimera candidate
+    bad = prune_chimeras(R, lengths, threshold=1)
+    assert 2 in bad.tolist() and 1 not in bad.tolist()
