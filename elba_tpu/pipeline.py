@@ -40,16 +40,18 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
                  write_outputs: bool = True,
                  aligner: Optional[Callable] = None,
                  log: Optional[Callable[[str], None]] = print) -> PipelineResult:
-    timings = {}
+    from .utils.logging import PhaseTimer
+    timer = PhaseTimer(sync=False)
+    timings = timer.phases
 
     def phase(name):
         class _T:
             def __enter__(self):
-                self.t = time.perf_counter()
+                timer.start(name)
             def __exit__(self, *a):
-                timings[name] = time.perf_counter() - self.t
+                dt = timer.stop()
                 if log:
-                    log(f"[elba-tpu] {name}: {timings[name]:.3f}s")
+                    log(f"[elba-tpu] {name}: {dt:.3f}s")
         return _T()
 
     with phase("load_fasta"):
