@@ -144,14 +144,16 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
         reliable = (kmf != SENTINEL) & (cnt >= cfg.lower) & (cnt <= cfg.upper)
 
         # --- 4. pair expansion (SharedSeeds products, a < b in group) ------
-        pq_list, pt_list, q_list, t_list, pv_list = [], [], [], [], []
+        pq_list, pt_list, q_list, t_list, pv_list, km_list = \
+            [], [], [], [], [], []
         for o in range(1, cfg.upper):
             j = jnp.minimum(idx + o, n - 1)
             same = (kmf[j] == kmf) & (idx + o < n) & reliable
             q = ridf
             t = ridf[j]
             ok = same & (q != t)
-            # orient q < t
+            # orient q < t (instances are readid-sorted within a kmer, so
+            # the earlier instance belongs to the smaller read)
             qq = jnp.minimum(q, t)
             tt = jnp.maximum(q, t)
             pq = jnp.where(q <= t, posf, posf[j])
@@ -161,28 +163,45 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
             pq_list.append(pq)
             pt_list.append(pt)
             pv_list.append(ok)
+            km_list.append(kmf)
         q = jnp.concatenate(q_list)
         t = jnp.concatenate(t_list)
         pq = jnp.concatenate(pq_list)
         pt = jnp.concatenate(pt_list)
         pvalid = jnp.concatenate(pv_list)
+        pkm = jnp.concatenate(km_list)
 
         # --- 5. route pairs to 2D block owners -----------------------------
         rb = q // (Rb * pc)               # mesh row that replicates q
         cb = (t // Rb) % pc               # mesh column that replicates t
         pair_dst = rb * pc + cb
-        (q_s, t_s, pq_s, pt_s), drop2 = _bucketize(
-            pair_dst, pvalid, [q, t, pq.astype(jnp.int32), pt.astype(jnp.int32)],
+        (q_s, t_s, pq_s, pt_s, km_s2), drop2 = _bucketize(
+            pair_dst, pvalid,
+            [q, t, pq.astype(jnp.int32), pt.astype(jnp.int32), pkm],
             nproc, cfg.pair_cap,
-            [jnp.int64(-1), jnp.int64(-1), jnp.int32(-1), jnp.int32(-1)])
+            [jnp.int64(-1), jnp.int64(-1), jnp.int32(-1), jnp.int32(-1),
+             SENTINEL])
         q_r = jax.lax.all_to_all(q_s, axes, 0, 0, tiled=True).reshape(-1)
         t_r = jax.lax.all_to_all(t_s, axes, 0, 0, tiled=True).reshape(-1)
         pq_r = jax.lax.all_to_all(pq_s, axes, 0, 0, tiled=True).reshape(-1)
         pt_r = jax.lax.all_to_all(pt_s, axes, 0, 0, tiled=True).reshape(-1)
+        km_r2 = jax.lax.all_to_all(km_s2, axes, 0, 0, tiled=True).reshape(-1)
         has_pair = q_r >= 0
 
-        # --- 6. B-shard assembly (SharedSeeds add: count + first seed) -----
+        # --- 6. B-shard assembly (SharedSeeds add) -------------------------
+        # canonical merge order (kmer, posQ, posT) within each (q, t) group
+        # makes seed choice identical to the single-device path and
+        # independent of the mesh layout
         key = jnp.where(has_pair, q_r * nreads + t_r, jnp.int64(2**62))
+        o = jnp.argsort(pt_r, stable=True)
+        key, q_r, t_r, pq_r, pt_r, km_r2 = \
+            key[o], q_r[o], t_r[o], pq_r[o], pt_r[o], km_r2[o]
+        o = jnp.argsort(pq_r, stable=True)
+        key, q_r, t_r, pq_r, pt_r, km_r2 = \
+            key[o], q_r[o], t_r[o], pq_r[o], pt_r[o], km_r2[o]
+        o = jnp.argsort(km_r2, stable=True)
+        key, q_r, t_r, pq_r, pt_r, km_r2 = \
+            key[o], q_r[o], t_r[o], pq_r[o], pt_r[o], km_r2[o]
         o = jnp.argsort(key, stable=True)
         key, qb_, tb_, pqb, ptb = key[o], q_r[o], t_r[o], pq_r[o], pt_r[o]
         np_ = key.shape[0]
@@ -191,6 +210,13 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
         shared = jax.ops.segment_sum(
             jnp.ones(np_, jnp.int64), pgid, num_segments=np_)[pgid]
         is_head = pb & (key < 2**62) & (shared >= 2)
+        is_tail = jnp.concatenate([pb[1:], jnp.ones(1, bool)]) & \
+            (key < 2**62) & (shared >= 2)
+        # fold-last seed (SharedSeeds add keeps first + last in merge order)
+        seed1Q = jax.ops.segment_max(
+            jnp.where(is_tail, pqb, -1), pgid, num_segments=np_)[pgid]
+        seed1T = jax.ops.segment_max(
+            jnp.where(is_tail, ptb, -1), pgid, num_segments=np_)[pgid]
 
         # --- 7. sequence replication + local alignment ---------------------
         rowbuf = jax.lax.all_gather(codes, "c", axis=0, tiled=True)
@@ -221,6 +247,7 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
             qcodes.astype(jnp.int8), tcodes.astype(jnp.int8),
             qlen, tlen, apq, apt)
         score = jnp.where(asel, res["score"], -1)
+        align_truncated = jnp.maximum(jnp.sum(is_head) - cfg.align_cap, 0)
 
         # --- 8. global statistics ------------------------------------------
         stats = dict(
@@ -231,10 +258,16 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
             total_score=jax.lax.psum(
                 jnp.sum(jnp.where(score > 0, score, 0)), axes),
             dropped=jax.lax.psum(drop1 + drop2, axes),
+            align_truncated=jax.lax.psum(align_truncated, axes),
         )
         local = dict(q=aq, t=at, score=score, rc=res["rc"],
                      begQ=res["begQ"], endQ=res["endQ"],
-                     begT=res["begT"], endT=res["endT"], valid=asel)
+                     begT=res["begT"], endT=res["endT"], valid=asel,
+                     overflow=res["overflow"],
+                     seedQ=apq, seedT=apt,
+                     numshared=shared[comp].astype(jnp.int32),
+                     seed1Q=seed1Q[comp].astype(jnp.int32),
+                     seed1T=seed1T[comp].astype(jnp.int32))
         return stats, local
 
     spec_in = P(("r", "c"))
