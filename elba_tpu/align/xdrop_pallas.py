@@ -77,7 +77,12 @@ def _align(x):
 
 
 def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
-            ads_ref, sc_ref):
+            sc_ref):
+    """Register-resident band: the two live antidiagonals ride the
+    while-loop carry as [SUB, WWIN] arrays anchored at each item's aligned
+    window base; re-anchoring after a band advance is a select over three
+    static lane shifts (0/128/256), exact because shifted-in columns lie
+    beyond the source antidiagonal's creation extent (undef)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
     lane1 = lane[0, :BANDW]
     lane2 = lane[0]
@@ -87,10 +92,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         cols = params_ref[s, P_COLS]
         rows = params_ref[s, P_ROWS]
         active = params_ref[s, P_ACTIVE]
-        undef = params_ref[s, P_UNDEF]
-        init_cell = params_ref[s, P_INIT]
         resume = params_ref[s, P_RESUME]
-        undef_win = jnp.full((WWIN,), 1, jnp.int32) * undef
 
         sc_ref[s, S_DELTA] = params_ref[s, P_DELTA]
         sc_ref[s, S_COLS] = cols
@@ -99,12 +101,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         sc_ref[s, S_STATUS] = DONE
 
         @pl.when(resume == 0)
-        def _(s=s, undef=undef, init_cell=init_cell, undef_win=undef_win):
-            # fresh: antidiag 0 = {col0: 0}, antidiag 1 = {col0,1: init}
-            ads_ref[2, s, pl.ds(0, WWIN)] = undef_win
-            ads_ref[0, s, pl.ds(0, WWIN)] = jnp.where(lane2 == 0, 0, undef)
-            ads_ref[1, s, pl.ds(0, WWIN)] = jnp.where(
-                lane2 <= 1, init_cell, undef)
+        def _(s=s):
             sc_ref[s, S_MC] = 1
             sc_ref[s, S_XC] = 2
             sc_ref[s, S_HI3] = 1
@@ -115,24 +112,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
 
         @pl.when(resume != 0)
         def _(s=s):
-            # resumed: restore scalars and seed the ring with the two live
-            # antidiagonal windows at their roles for adn_start
-            mc0 = params_ref[s, P_MC0]
-            adn0 = sc_ref[s, S_DELTA] + 2
-            base0 = _align(mc0 - 1)
-            slot0 = pl.multiple_of(base0 % RING, BANDW)
-            r2 = jnp.remainder(adn0 + 2, 3)
-            r1 = jnp.remainder(adn0 + 1, 3)
-            ad1w = st_in_ref[s, 0, :]
-            ad2w = st_in_ref[s, 1, :]
-            ads_ref[r1, s, pl.ds(slot0, WWIN)] = ad1w
-            ads_ref[r2, s, pl.ds(slot0, WWIN)] = ad2w
-
-            @pl.when(slot0 >= RING - BANDW)
-            def _():
-                ads_ref[r1, s, pl.ds(0, BANDW)] = ad1w[BANDW:]
-                ads_ref[r2, s, pl.ds(0, BANDW)] = ad2w[BANDW:]
-            sc_ref[s, S_MC] = mc0
+            sc_ref[s, S_MC] = params_ref[s, P_MC0]
             sc_ref[s, S_XC] = params_ref[s, P_XC0]
             sc_ref[s, S_HI3] = params_ref[s, P_HI3]
             sc_ref[s, S_BEST] = params_ref[s, P_BEST0]
@@ -145,6 +125,16 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             (sc_ref[s, S_MC] < sc_ref[s, S_XC]), 1, 0)
         sc_ref[s, S_ADN] = sc_ref[s, S_DELTA] + 2
 
+    undefv0 = params_ref[:, P_UNDEF].reshape(SUB, 1)
+    resv = params_ref[:, P_RESUME].reshape(SUB, 1)
+    initv = params_ref[:, P_INIT].reshape(SUB, 1)
+    # fresh: antidiag 0 = {col0: 0}; antidiag 1 = {col0,1: init_cell};
+    # resumed: the saved windows
+    fresh1 = jnp.where(lane == 0, 0, undefv0)
+    fresh2 = jnp.where(lane <= 1, initv, undefv0)
+    ad1_0 = jnp.where(resv != 0, st_in_ref[:, 0, :], fresh1)
+    ad2_0 = jnp.where(resv != 0, st_in_ref[:, 1, :], fresh2)
+
     def nactive():
         n = sc_ref[0, S_ACT]
         for s in range(1, SUB):
@@ -152,7 +142,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         return n
 
     def body(carry):
-        ad_no = carry[0]
+        ad_no, _, a1, a2 = carry
 
         # ---- pause scan: stop items whose band leaves the seq windows ----
         for s in range(SUB):
@@ -173,13 +163,10 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
                     sc_ref[s, S_ACT] = 0
                     sc_ref[s, S_ADN] = adn
 
-        # ---- gather per-item band + sequence windows ---------------------
-        rows_a2 = []
-        rows_a1 = []
+        # ---- per-item sequence windows (band lives in registers) ---------
         rows_q = []
         rows_t = []
-        basev, slotv, l3v, mcv, xcv, hi2v, adnv, r3v = \
-            [], [], [], [], [], [], [], []
+        basev, l3v, mcv, xcv, hi2v, adnv, actv = [], [], [], [], [], [], []
         for s in range(SUB):
             act = sc_ref[s, S_ACT]
             adn = ad_no + sc_ref[s, S_DELTA]
@@ -187,12 +174,6 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             xc = jnp.where(act > 0, sc_ref[s, S_XC], 2)
             l3 = mc - 1
             base = pl.multiple_of(_align(l3), BANDW)
-            slot = pl.multiple_of(base % RING, BANDW)
-            r3 = jnp.remainder(adn, 3)
-            r2 = jnp.remainder(adn + 2, 3)
-            r1 = jnp.remainder(adn + 1, 3)
-            rows_a2.append(ads_ref[r2, s, pl.ds(slot, WWIN)])
-            rows_a1.append(ads_ref[r1, s, pl.ds(slot, WWIN)])
 
             qoff = jnp.where(act > 0, params_ref[s, P_QOFF], 0)
             qs_start = pl.multiple_of(
@@ -212,16 +193,13 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             rows_t.append(trow)
 
             basev.append(base)
-            slotv.append(slot)
             l3v.append(l3)
             mcv.append(mc)
             xcv.append(xc)
             hi2v.append(sc_ref[s, S_HI3])
             adnv.append(adn)
-            r3v.append(r3)
+            actv.append(act)
 
-        a2 = jnp.stack(rows_a2)
-        a1 = jnp.stack(rows_a1)
         qv = jnp.stack(rows_q)
         tv = jnp.stack(rows_t)
         basec = jnp.stack(basev).reshape(SUB, 1)
@@ -230,9 +208,10 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         xc = jnp.stack(xcv).reshape(SUB, 1)
         hi2 = jnp.stack(hi2v).reshape(SUB, 1)
         adnc = jnp.stack(adnv).reshape(SUB, 1)
+        actc = jnp.stack(actv).reshape(SUB, 1)
 
-        # +-1 column offsets as static lane rolls (lane 0 wraps: col base-1
-        # is never live because min_col-1 >= base)
+        # +-1 column offsets as a static lane roll (lane 0 wraps: col
+        # base-1 is never live because min_col-1 >= base)
         a2m1 = pltpu.roll(a2, 1, 1)
         a1m1 = pltpu.roll(a1, 1, 1)
 
@@ -284,20 +263,12 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         # int32 (not bool): Mosaic cannot squeeze bool vectors to scalars
         ovf_now = jnp.where(xc - l3c + 1 > BANDW, 1, 0).reshape(SUB)
 
-        # ---- write back ---------------------------------------------------
+        # ---- scalar write back -------------------------------------------
         for s in range(SUB):
             act = sc_ref[s, S_ACT]
 
             @pl.when(act > 0)
-            def _(s=s, ad3=ad3):
-                slot = slotv[s]
-                ads_ref[r3v[s], s, pl.ds(slot, WWIN)] = ad3[s, :]
-
-                # ring wraparound: keep [0, BANDW) mirroring the pad
-                @pl.when(slot >= RING - BANDW)
-                def _():
-                    ads_ref[r3v[s], s, pl.ds(0, BANDW)] = ad3[s, BANDW:]
-
+            def _(s=s):
                 adn = adnv[s]
                 sc_ref[s, S_HI3] = sc_ref[s, S_XC]
                 hit = lastc[s] >= 0
@@ -322,12 +293,38 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
                     (new_min < new_max) & (ov == 0), 1, 0)
                 sc_ref[s, S_ADN] = adn + 1
 
-        return (ad_no + 1, nactive())
+        # ---- re-anchor the register band to the next window base ---------
+        # delta = base_next - base in {0, 128, 256} (min_col can advance at
+        # most to hi3+1 <= base+256+1)
+        nb = []
+        for s in range(SUB):
+            nb.append(_align(sc_ref[s, S_MC] - 1))
+        nbase = jnp.stack(nb).reshape(SUB, 1)
+        delta = nbase - basec
 
-    jax.lax.while_loop(lambda cy: cy[1] > 0, body,
-                       (jnp.int32(2), nactive()))
+        def shift(x, d):
+            if d == 0:
+                return x
+            rolled = pltpu.roll(x, WWIN - d, 1)
+            return jnp.where(lane < WWIN - d, rolled, undefv)
+
+        def reanchor(x):
+            out = jnp.where(delta == 128, shift(x, 128), x)
+            return jnp.where(delta == 256, shift(x, 256), out)
+
+        # frozen (inactive/paused) items keep their windows for state_out
+        a1n = jnp.where(actc > 0, reanchor(a2), a1)
+        a2n = jnp.where(actc > 0, reanchor(ad3), a2)
+
+        return (ad_no + 1, nactive(), a1n, a2n)
+
+    _, _, a1f, a2f = jax.lax.while_loop(
+        lambda cy: cy[1] > 0, body,
+        (jnp.int32(2), nactive(), ad1_0, ad2_0))
 
     # ---- emit outputs + continuation state --------------------------------
+    st_out_ref[:, 0, :] = a1f
+    st_out_ref[:, 1, :] = a2f
     for s in range(SUB):
         v = jnp.where(lane1 == O_BES, sc_ref[s, S_BES], 0)
         v = jnp.where(lane1 == O_BEC, sc_ref[s, S_BEC], v)
@@ -340,14 +337,6 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         v = jnp.where(lane1 == O_BEST, sc_ref[s, S_BEST], v)
         v = jnp.where(lane1 == O_ADN, sc_ref[s, S_ADN], v)
         out_ref[s, :] = v
-
-        adn_e = sc_ref[s, S_ADN]
-        base_e = _align(sc_ref[s, S_MC] - 1)
-        slot_e = pl.multiple_of(base_e % RING, BANDW)
-        r2e = jnp.remainder(adn_e + 2, 3)
-        r1e = jnp.remainder(adn_e + 1, 3)
-        st_out_ref[s, 0, :] = ads_ref[r1e, s, pl.ds(slot_e, WWIN)]
-        st_out_ref[s, 1, :] = ads_ref[r2e, s, pl.ds(slot_e, WWIN)]
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -378,7 +367,6 @@ def _extend_rounds_x32(params, qw, tw, st_in, interpret: bool = False):
             jax.ShapeDtypeStruct((N, 2, WWIN), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, SUB, RING + 2 * BANDW), jnp.int32),
             pltpu.SMEM((SUB, 16), jnp.int32),
         ],
         interpret=interpret,
