@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .extract import extract_canonical_kmers
+from .extract import extract_canonical_kmers, extract_canonical_kmers2
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -79,17 +79,29 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     read_ids = jnp.asarray(read_ids, dtype=jnp.int64)
-    canon, valid = extract_canonical_kmers(codes, lengths, k)
+    two_word = k > 32
+    if two_word:
+        chi, clo, valid = extract_canonical_kmers2(codes, lengths, k)
+        canon = chi  # primary sort word; secondary handled below
+    else:
+        canon, valid = extract_canonical_kmers(codes, lengths, k)
     if canon.shape[1] == 0:
         return KmerMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
                           np.zeros(0, np.int32), np.zeros(0, np.uint64),
                           int(codes.shape[0]), 0)
-    km, rid, pos, nvalid = _sort_instances(canon, valid, read_ids)
+    if two_word:
+        km, km2, rid, pos, nvalid = _sort_instances2(
+            chi, clo, valid, read_ids)
+    else:
+        km, rid, pos, nvalid = _sort_instances(canon, valid, read_ids)
+        km2 = None
 
     boundaries = np.empty(nvalid, dtype=bool)
     if nvalid:
         boundaries[0] = True
         np.not_equal(km[1:], km[:-1], out=boundaries[1:])
+        if km2 is not None:
+            boundaries[1:] |= km2[1:] != km2[:-1]
     starts = np.flatnonzero(boundaries)
     counts = np.diff(np.append(starts, nvalid))
 
@@ -103,14 +115,31 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
     rank_of_group = np.cumsum(reliable) - 1  # rank among reliable kmers
     rank_of_instance = rank_of_group[group_id]
 
+    kmers_out = (km[rel_starts] if km2 is None
+                 else np.stack([km[rel_starts], km2[rel_starts]], axis=1))
     return KmerMatrix(
         rows=rid[keep].astype(np.int64),
         cols=rank_of_instance[keep],
         pos=pos[keep].astype(np.int32),
-        kmers=km[rel_starts],
+        kmers=kmers_out,
         num_reads=int(codes.shape[0]),
         num_kmers=num_kmers,
     )
+
+
+def _sort_instances2(chi, clo, valid, read_ids):
+    """Two-word variant: sort by (hi, lo, read, pos)."""
+    chi = np.asarray(chi)
+    clo = np.asarray(clo)
+    valid = np.asarray(valid)
+    read_ids = np.asarray(read_ids)
+    rid_f, pos_f = np.nonzero(valid)
+    hi = chi[rid_f, pos_f]
+    lo = clo[rid_f, pos_f]
+    rid = read_ids[rid_f]
+    pos = pos_f.astype(np.int32)
+    order = np.lexsort((lo, hi))
+    return hi[order], lo[order], rid[order], pos[order], len(hi)
 
 
 def build_kmer_matrix(readset, k: int, lower: int, upper: int) -> KmerMatrix:

@@ -67,3 +67,67 @@ def canonical_ref(seq_codes: np.ndarray, k: int) -> np.ndarray:
     # window i of the forward strand corresponds to window n-1-i of revcomp
     rc = rc_all[::-1]
     return np.minimum(fwd, rc)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_canonical_kmers2(codes: jnp.ndarray, lengths: jnp.ndarray,
+                             k: int):
+    """Two-word canonical k-mers for 32 < k <= 64 (reference supports
+    KMER_SIZE < 96 via Kmer<2,3>, Kmer.hpp:95-97; 65..95 tracked as TODO).
+
+    hi packs bases[0:32] MSB-first; lo packs bases[32:k] MSB-first into the
+    high bits of the remaining word, so (hi, lo) numeric order equals
+    lexicographic base order.
+
+    Returns (canon_hi, canon_lo, valid) with shapes [R, W].
+    """
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        z = jnp.zeros((R, 0), jnp.uint64)
+        return z, z, jnp.zeros((R, 0), bool)
+    c64 = codes.astype(jnp.uint64)
+    fhi = jnp.zeros((R, W), jnp.uint64)
+    flo = jnp.zeros((R, W), jnp.uint64)
+    rhi = jnp.zeros((R, W), jnp.uint64)
+    rlo = jnp.zeros((R, W), jnp.uint64)
+    for j in range(k):
+        col = c64[:, j:j + W]
+        comp = jnp.uint64(3) - col
+        if j < 32:
+            fhi = fhi | (col << jnp.uint64(2 * (31 - j)))
+        else:
+            flo = flo | (col << jnp.uint64(2 * (31 - (j - 32))))
+        # twin base i comes from position k-1-i complemented; build the
+        # twin directly: twin[i] = 3 - base[k-1-i] => base j lands at twin
+        # index k-1-j
+        ti = k - 1 - j
+        if ti < 32:
+            rhi = rhi | (comp << jnp.uint64(2 * (31 - ti)))
+        else:
+            rlo = rlo | (comp << jnp.uint64(2 * (31 - (ti - 32))))
+    twin_less = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
+    chi = jnp.where(twin_less, rhi, fhi)
+    clo = jnp.where(twin_less, rlo, flo)
+    pos = jnp.arange(W, dtype=lengths.dtype)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    return chi, clo, valid
+
+
+def canonical_ref2(seq_codes: np.ndarray, k: int):
+    """Numpy oracle for two-word canonical k-mers; returns [n, 2]."""
+    n = len(seq_codes) - k + 1
+    out = np.zeros((max(n, 0), 2), dtype=np.uint64)
+    rc = (3 - seq_codes[::-1]).astype(np.uint8)
+    for p in range(n):
+        fwd = seq_codes[p:p + k]
+        twin = rc[len(seq_codes) - k - p:len(seq_codes) - p]
+        best = min(tuple(fwd), tuple(twin))
+        hi = lo = 0
+        for j, c in enumerate(best):
+            if j < 32:
+                hi |= int(c) << (2 * (31 - j))
+            else:
+                lo |= int(c) << (2 * (31 - (j - 32)))
+        out[p] = (hi, lo)
+    return out

@@ -99,3 +99,39 @@ def test_duplicate_kmer_in_same_read():
     assert m.nnz == 4
     assert sorted(zip(m.rows.tolist(), m.pos.tolist())) == \
         [(0, 0), (0, 7), (1, 0), (1, 7)]
+
+
+def test_two_word_extraction_matches_oracle(rng):
+    from elba_tpu.kmers.extract import extract_canonical_kmers2, canonical_ref2
+    for k in [33, 41, 63]:
+        s = random_dna(rng, 150)
+        expect = canonical_ref2(s, k)
+        chi, clo, valid = extract_canonical_kmers2(
+            jnp.asarray(s[None, :]), jnp.asarray([150]), k)
+        got = np.stack([np.asarray(chi)[0], np.asarray(clo)[0]], axis=1)
+        got = got[np.asarray(valid)[0]]
+        assert np.array_equal(got, expect), k
+
+
+def test_two_word_counting(rng):
+    k = 41
+    # build reads sharing a long exact region
+    core = random_dna(rng, 120)
+    reads = []
+    for i in range(6):
+        pre = random_dna(rng, 10 + i)
+        post = random_dna(rng, 15)
+        reads.append(np.concatenate([pre, core, post]))
+    rs = ReadSet.from_sequences(
+        ["".join("ACGT"[c] for c in r) for r in reads])
+    m = build_kmer_matrix(rs, k, 6, 6)
+    # every kmer fully inside the shared core appears exactly 6 times
+    assert m.num_kmers == 120 - k + 1
+    assert m.nnz == 6 * (120 - k + 1)
+    assert m.kmers.shape == (m.num_kmers, 2)
+    # strand invariance: rc all reads -> same canonical kmer set
+    rc = [("".join("ACGT"[c] for c in (3 - r[::-1]))) for r in reads]
+    m2 = build_kmer_matrix(ReadSet.from_sequences(rc), k, 6, 6)
+    assert np.array_equal(
+        m.kmers[np.lexsort((m.kmers[:, 1], m.kmers[:, 0]))],
+        m2.kmers[np.lexsort((m2.kmers[:, 1], m2.kmers[:, 0]))])
