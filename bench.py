@@ -70,13 +70,15 @@ def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
 
 
 def bench_spgemm():
-    """SharedSeeds SpGEMM (B = A A^T) throughput on a synthetic A at the
-    E. coli-sample scale; reports output nnz/s (host path for now)."""
-    from elba_tpu.dsparse.seedmat import build_seed_matrix
+    """SharedSeeds SpGEMM (B = A A^T) on device: semiring products/s and
+    output nnz/s for a coverage-structured synthetic A (every k-mer with 8
+    instances, the reference's E. coli U bound)."""
+    import jax
+    from elba_tpu.dsparse.seedmat_device import build_seed_matrix_device
     from elba_tpu.kmers.count import KmerMatrix
 
     rng = np.random.default_rng(3)
-    n_reads, n_kmers, copies = 20000, 200000, 4
+    n_reads, n_kmers, copies = 20000, 100000, 8
     cols = np.repeat(np.arange(n_kmers), copies)
     rows = rng.integers(0, n_reads, len(cols))
     pos = rng.integers(0, 1 << 14, len(cols)).astype(np.int32)
@@ -85,11 +87,19 @@ def bench_spgemm():
                    cols=cols[order].astype(np.int64),
                    pos=pos[order], kmers=np.arange(n_kmers, dtype=np.uint64),
                    num_reads=n_reads, num_kmers=n_kmers)
-    t0 = time.time()
-    B = build_seed_matrix(A, min_shared=2, full=True)
-    dt = time.time() - t0
-    return B.nnz / dt, dict(input_nnz=A.nnz, output_nnz=B.nnz,
-                            seconds=round(dt, 3))
+    res, total = build_seed_matrix_device(A)   # compile + run
+    jax.block_until_ready(res)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        res, total = build_seed_matrix_device(A)
+        jax.block_until_ready(res)
+        best = min(best, time.time() - t0)
+    nnz = int(np.asarray(res["head"]).sum())
+    return nnz / best, dict(input_nnz=A.nnz, output_nnz=nnz,
+                            products=total,
+                            products_per_sec=round(total / best),
+                            seconds=round(best, 3))
 
 
 def bench_e2e():

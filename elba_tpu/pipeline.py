@@ -65,7 +65,9 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
             f"k-mers, {A.nnz} nnz")
 
     with phase("seed_matrix"):
-        B = build_seed_matrix(A, min_shared=2, full=True)
+        # upper-triangle B: the alignment set; the full symmetric B is only
+        # needed for mtx dumps (io.mtx can derive it by symmetry)
+        B = build_seed_matrix(A, min_shared=2, full=False)
     if log:
         log(f"[elba-tpu] B: {B.nnz} candidate entries")
 

@@ -81,3 +81,31 @@ def test_upper_only_subset(rng):
     fullkeys = set(zip(full.rows.tolist(), full.cols.tolist()))
     upkeys = set(zip(up.rows.tolist(), up.cols.tolist()))
     assert upkeys == {(i, j) for (i, j) in fullkeys if i < j}
+
+
+def test_device_seedmat_matches_host(rng):
+    from elba_tpu.dsparse.seedmat_device import build_seed_matrix_device
+    k = 7
+    reads = []
+    motifs = [random_dna(rng, 30) for _ in range(4)]
+    for i in range(12):
+        r = random_dna(rng, 80)
+        r[10:40] = motifs[i % 4]
+        reads.append("".join("ACGT"[c] for c in r))
+    rs = ReadSet.from_sequences(reads)
+    A = build_kmer_matrix(rs, k, 2, 8)
+    host = build_seed_matrix(A, min_shared=2, full=True).mat
+
+    res, total = build_seed_matrix_device(A)
+    res = {f: np.asarray(v) for f, v in res.items()}
+    sel = np.flatnonzero(res["head"])
+    # device emits column-major heads like the host canonical order
+    assert len(sel) == host.nnz
+    order = np.argsort(res["t"][sel] * A.num_reads + res["q"][sel])
+    sel = sel[order]
+    assert np.array_equal(res["q"][sel], host.rows)
+    assert np.array_equal(res["t"][sel], host.cols)
+    for df, hf in [("numshared", "numshared"), ("seedQ0", "seedQ0"),
+                   ("seedT0", "seedT0"), ("seedQ1", "seedQ1"),
+                   ("seedT1", "seedT1")]:
+        assert np.array_equal(res[df][sel], host.vals[hf]), df
