@@ -34,11 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", type=str, default=d.output_prefix,
                    help=f"output file name prefix [{d.output_prefix}]")
     p.add_argument("-k", type=int, default=d.k,
-                   help=f"k-mer size, odd, <= 32 [{d.k}]")
+                   help=f"k-mer size, odd, <= 64 [{d.k}]")
     p.add_argument("-l", type=int, default=d.lower_freq,
                    help=f"lower reliable k-mer frequency [{d.lower_freq}]")
     p.add_argument("-u", type=int, default=d.upper_freq,
                    help=f"upper reliable k-mer frequency [{d.upper_freq}]")
+    p.add_argument("--log-level", type=int, default=1,
+                   help="1=phases, 2=+kmer histogram and B dump, 3=+A dump "
+                        "(mirrors the reference LOG_LEVEL)")
     return p
 
 
@@ -48,7 +51,7 @@ def main(argv=None) -> int:
         k=args.k, lower_freq=args.l, upper_freq=args.u,
         mat=args.A, mis=-args.B, gap=-args.G, xdrop=args.x,
         bad_read_cutoff=args.c, output_prefix=args.o)
-    run_pipeline(args.fasta, params)
+    run_pipeline(args.fasta, params, log_level=args.log_level)
     return 0
 
 

@@ -12,6 +12,8 @@ import dataclasses
 import time
 from typing import Callable, List, Optional
 
+import numpy as np
+
 from .align.pairwise import pairwise_alignment
 from .dseq.dna import ReadSet, load_fasta
 from .dsparse.coo import COOMatrix
@@ -23,6 +25,14 @@ from .io.fasta_out import write_contigs_fasta
 from .io.paf import write_paf
 from .kmers.count import build_kmer_matrix
 from .params import PipelineParams
+
+
+def kmer_histogram(A) -> dict:
+    """count -> number of k-mers at that count (reference
+    print_kmer_histogram, main.cpp:449-485)."""
+    counts = np.bincount(A.cols, minlength=A.num_kmers)
+    histo = np.bincount(counts[counts > 0])
+    return {int(c): int(n) for c, n in enumerate(histo) if n > 0 and c > 0}
 
 
 @dataclasses.dataclass
@@ -39,7 +49,11 @@ class PipelineResult:
 def run_pipeline(fasta_path: str, params: PipelineParams,
                  write_outputs: bool = True,
                  aligner: Optional[Callable] = None,
-                 log: Optional[Callable[[str], None]] = print) -> PipelineResult:
+                 log: Optional[Callable[[str], None]] = print,
+                 log_level: int = 1) -> PipelineResult:
+    """log_level mirrors the reference's LOG_LEVEL gating: >=2 prints the
+    k-mer histogram and dumps B/R matrices, >=3 also dumps A
+    (ELBALogger.cpp:5-43, main.cpp:449-485)."""
     from .utils.logging import PhaseTimer
     timer = PhaseTimer(sync=False)
     timings = timer.phases
@@ -63,6 +77,14 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     if log:
         log(f"[elba-tpu] A: {A.num_reads} reads x {A.num_kmers} reliable "
             f"k-mers, {A.nnz} nnz")
+    if log and log_level >= 2:
+        histo = kmer_histogram(A)
+        log("#count\tnumkmers")
+        for c in sorted(histo):
+            log(f"{c}\t{histo[c]}")
+    if write_outputs and log_level >= 3:
+        from .io.mtx import write_mtx_kmer_matrix
+        write_mtx_kmer_matrix(A, f"{params.output_prefix}.A.mtx")
 
     with phase("seed_matrix"):
         # upper-triangle B: the alignment set; the full symmetric B is only
@@ -70,6 +92,10 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
         B = build_seed_matrix(A, min_shared=2, full=False)
     if log:
         log(f"[elba-tpu] B: {B.nnz} candidate entries")
+    if write_outputs and log_level >= 2:
+        from .io.mtx import write_mtx_seed_matrix
+        write_mtx_seed_matrix(B, f"{params.output_prefix}.B.mtx",
+                              brief=False)
 
     with phase("alignment"):
         R = pairwise_alignment(readset, B, params.k, params.mat, params.mis,
