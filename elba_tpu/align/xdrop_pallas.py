@@ -444,28 +444,49 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
     undef = (INT_MIN - g_ - m_).astype(np.int64)
     init_cell = np.where(-g_ > dropoff, undef, g_)
 
-    def build_windows(item_ids, qoffs, toffs):
-        """Materialize QW/TW windows (numpy gathers).
+    # device-resident sequences: shipped once; every round's windows are
+    # built by jitted gathers on device (host<->device traffic per round is
+    # only the small param/state blocks)
+    q_dev = jnp.asarray(q)
+    teff_dev = jnp.asarray(t_eff.astype(np.int8))
+    begQ_dev = jnp.asarray(begQ)
+    endQ_dev = jnp.asarray(endQ)
+    begTs_dev = jnp.asarray(begT_s)
+    endTs_dev = jnp.asarray(endT_s)
+    tanch_dev = jnp.asarray(tanch)
 
-        Virtual strings: QS[j] = q_item[j-1]; TSR[j] = t_item[tanch - j].
+    @jax.jit
+    def _build_windows_dev(item_ids, qoffs, toffs):
+        """QS[j] = q_item[j-1]; TSR[j] = t_item[tanch - j].
           left : q_item[x] = q[begQ-1-x], t_item[x] = t_eff[begT_s-1-x]
-          right: q_item[x] = q[endQ+x],   t_item[x] = t_eff[endT_s+x]
-        """
+          right: q_item[x] = q[endQ+x],   t_item[x] = t_eff[endT_s+x]"""
         pair = item_ids // 2
         is_left = (item_ids % 2) == 0
-        xs = qoffs[:, None] + np.arange(QW)[None, :] - 1
-        src_q = np.where(is_left[:, None],
-                         begQ[pair][:, None] - 1 - xs,
-                         endQ[pair][:, None] + xs)
-        qwv = np.take_along_axis(q[pair], np.clip(src_q, 0, L - 1), axis=1)
-        xt = tanch[item_ids][:, None] - (toffs[:, None] +
-                                         np.arange(TW)[None, :])
-        src_t = np.where(is_left[:, None],
-                         begT_s[pair][:, None] - 1 - xt,
-                         endT_s[pair][:, None] + xt)
-        twv = np.take_along_axis(t_eff[pair], np.clip(src_t, 0, L - 1),
-                                 axis=1)
-        return qwv.astype(np.int8), twv.astype(np.int8)
+        xs = qoffs[:, None] + jnp.arange(QW)[None, :] - 1
+        src_q = jnp.where(is_left[:, None],
+                          begQ_dev[pair][:, None] - 1 - xs,
+                          endQ_dev[pair][:, None] + xs)
+        qwv = jnp.take_along_axis(q_dev[pair],
+                                  jnp.clip(src_q, 0, L - 1), axis=1)
+        xt = tanch_dev[item_ids][:, None] - (toffs[:, None] +
+                                             jnp.arange(TW)[None, :])
+        src_t = jnp.where(is_left[:, None],
+                          begTs_dev[pair][:, None] - 1 - xt,
+                          endTs_dev[pair][:, None] + xt)
+        twv = jnp.take_along_axis(teff_dev[pair],
+                                  jnp.clip(src_t, 0, L - 1), axis=1)
+        return qwv.astype(jnp.int8), twv.astype(jnp.int8)
+
+    def build_windows(item_ids, qoffs, toffs):
+        npad = max(16, 1 << int(np.ceil(np.log2(max(len(item_ids), 1)))))
+        ii = np.zeros(npad, np.int64)
+        qo = np.zeros(npad, np.int64)
+        to = np.zeros(npad, np.int64)
+        ii[:len(item_ids)] = item_ids
+        qo[:len(item_ids)] = qoffs
+        to[:len(item_ids)] = toffs
+        return _build_windows_dev(jnp.asarray(ii), jnp.asarray(qo),
+                                  jnp.asarray(to))
 
     def window_toff(tb):
         # tb drifts downward (one per antidiagonal); park the live slice
@@ -512,14 +533,12 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
         par[:nsel, P_BES0] = saved[live, 6]
 
         qwv, twv = build_windows(live, qoffs[live], toffs[live])
-        qwv = np.concatenate([qwv, np.zeros((npad - nsel, QW), np.int8)])
-        twv = np.concatenate([twv, np.zeros((npad - nsel, TW), np.int8)])
         sti = np.concatenate(
             [state[live],
              np.zeros((npad - nsel, 2, WWIN), np.int32)]).astype(np.int32)
 
         out, st_out = xdrop_extend_items_rounds(
-            jnp.asarray(par), jnp.asarray(qwv), jnp.asarray(twv),
+            jnp.asarray(par), qwv, twv,
             jnp.asarray(sti), interpret)
         out = np.asarray(out)[:nsel]
         st_out = np.asarray(st_out)[:nsel]
