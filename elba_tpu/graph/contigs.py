@@ -122,3 +122,52 @@ def generate_contigs(S: COOMatrix, readset: ReadSet) -> List[str]:
         used_roots.add(cur)
 
     return contigs
+
+
+def greedy_partition_contigs(sizes: np.ndarray, nparts: int) -> np.ndarray:
+    """Greedy min-load bin packing of contigs onto parts, in size order
+    (reference GetLocalProcAssignments, ContigGeneration.cpp:184-198:
+    each contig goes to the currently least-loaded part)."""
+    loads = np.zeros(nparts, dtype=np.int64)
+    assign = np.zeros(len(sizes), dtype=np.int64)
+    for i, s in enumerate(sizes):
+        w = int(np.argmin(loads))
+        loads[w] += int(s)
+        assign[i] = w
+    return assign
+
+
+def generate_contigs_partitioned(S: COOMatrix, readset: ReadSet,
+                                 nparts: int) -> List[List[str]]:
+    """Multi-part contig generation (reference GenerateContigs with
+    InducedSubgraphs2Procs routing, ContigGeneration.cpp:347-461):
+    contigs are bin-packed onto parts by size, each part receives its
+    contigs' induced subgraph + read sequences and walks its chains
+    independently.  Returns per-part contig lists; concatenating them in
+    part order reproduces the reference's global output order
+    (rank-ordered MPI_File_write_ordered, main.cpp:487-512).
+
+    In the SPMD setting the routing is the all_to_all of
+    parallel/dist_overlap (ids/lens/chars exchange); here the partition +
+    per-part walks run host-side, which is also how the reference's final
+    chain walk works (serial per rank over tiny data)."""
+    assignments, ncc = read_to_contigs(S)
+    used, sizes = contig_sizes(assignments, ncc)
+    if len(used) == 0:
+        return [[] for _ in range(nparts)]
+
+    part_of_contig = greedy_partition_contigs(sizes, nparts)
+    contig_part = -np.ones(ncc + 1, dtype=np.int64)
+    contig_part[used] = part_of_contig
+    read_part = contig_part[assignments]
+
+    out = []
+    for p in range(nparts):
+        keep = read_part == p
+        # induced subgraph on this part's reads
+        sel = keep[S.rows] & keep[S.cols]
+        Sp = S.select(sel)
+        # reuse the single-part walker over the full id space; reads of
+        # other parts are isolated there and excluded by the >= 2 filter
+        out.append(generate_contigs(Sp, readset))
+    return out

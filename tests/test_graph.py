@@ -250,3 +250,34 @@ def test_chimera_pileup_and_trim():
     # read 2: only a 100bp window -> chimera candidate
     bad = prune_chimeras(R, lengths, threshold=1)
     assert 2 in bad.tolist() and 1 not in bad.tolist()
+
+
+def test_partitioned_contigs_match_single_part():
+    from elba_tpu.graph.contigs import (generate_contigs,
+                                        generate_contigs_partitioned,
+                                        greedy_partition_contigs)
+    rng = np.random.default_rng(9)
+    # three independent chains of different sizes
+    genome = rng.integers(0, 4, 6000, dtype=np.uint8)
+    seqs, edges, base = [], [], 0
+    for chain_len, g0 in [(4, 0), (3, 2200), (2, 4200)]:
+        for i in range(chain_len):
+            seqs.append("".join("ACGT"[c]
+                                for c in genome[g0 + i * 400:
+                                                g0 + i * 400 + 1000]))
+        for i in range(chain_len - 1):
+            edges.append((base + i, base + i + 1,
+                          overlap_edge(400, 400, 1, 2)))
+        base += chain_len
+    rs = ReadSet.from_sequences(seqs)
+    R = mk_overlap_matrix(len(seqs), edges)
+    S = symmetricize(R)
+
+    single = generate_contigs(S, rs)
+    parts = generate_contigs_partitioned(S, rs, 3)
+    merged = [c for plist in parts for c in plist]
+    assert sorted(merged) == sorted(single)
+    assert len(merged) == 3
+    # greedy packing puts the three contigs on three different parts
+    assign = greedy_partition_contigs(np.array([4, 3, 2]), 3)
+    assert sorted(assign.tolist()) == [0, 1, 2]
