@@ -80,3 +80,52 @@ void revcomp_codes(const unsigned char* codes, int64_t n, unsigned char* out) {
 }
 
 }  // extern "C"
+
+// PAF line formatting: the reference writes PAF via per-rank ostringstream +
+// MPI_File_write_ordered (main.cpp:514-551); formatting millions of lines in
+// Python is the bottleneck, so the hot formatter is native.
+// Fields per entry (ints): lenQ begQ endQ rc lenT begT endT score passed.
+// Names are passed as a preconcatenated blob with offsets.
+extern "C" int64_t format_paf(
+    const int64_t* qid, const int64_t* tid, int64_t n,
+    const int32_t* lenQ, const int32_t* begQ, const int32_t* endQ,
+    const uint8_t* rc, const int32_t* lenT, const int32_t* begT,
+    const int32_t* endT, const int32_t* score, const uint8_t* passed,
+    const char* names, const int64_t* name_off, char* out,
+    int64_t out_cap) {
+    int64_t w = 0;
+    auto put_int = [&](int64_t v) {
+        char buf[24];
+        int len = 0;
+        if (v == 0) buf[len++] = '0';
+        bool neg = v < 0;
+        if (neg) v = -v;
+        while (v > 0) { buf[len++] = (char)('0' + v % 10); v /= 10; }
+        if (neg) buf[len++] = '-';
+        for (int i = len - 1; i >= 0; --i) out[w++] = buf[i];
+    };
+    auto put_name = [&](int64_t id) {
+        int64_t b = name_off[id], e = name_off[id + 1];
+        memcpy(out + w, names + b, (size_t)(e - b));
+        w += e - b;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + 256 > out_cap) return -1;
+        put_name(qid[i]); out[w++] = '\t';
+        put_int(lenQ[i]); out[w++] = '\t';
+        put_int(begQ[i]); out[w++] = '\t';
+        put_int(endQ[i]); out[w++] = '\t';
+        out[w++] = rc[i] ? '-' : '+'; out[w++] = '\t';
+        put_name(tid[i]); out[w++] = '\t';
+        put_int(lenT[i]); out[w++] = '\t';
+        put_int(begT[i]); out[w++] = '\t';
+        put_int(endT[i]); out[w++] = '\t';
+        put_int(score[i]); out[w++] = '\t';
+        int32_t maplen = endQ[i] - begQ[i] > 0 ? endQ[i] - begQ[i] : 0;
+        put_int(maplen); out[w++] = '\t';
+        out[w++] = '2'; out[w++] = '5'; out[w++] = '5'; out[w++] = '\t';
+        out[w++] = passed[i] ? '1' : '0';
+        out[w++] = '\n';
+    }
+    return w;
+}

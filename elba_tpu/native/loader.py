@@ -55,6 +55,11 @@ def get_lib():
         lib.pack_2bit.restype = None
         lib.revcomp_codes.argtypes = [p8, i64, p8]
         lib.revcomp_codes.restype = None
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        lib.format_paf.argtypes = [pi64, pi64, i64, p32, p32, p32, p8, p32,
+                                   p32, p32, p32, p8, pc, pi64,
+                                   ctypes.c_char_p, i64]
+        lib.format_paf.restype = i64
         _lib = lib
         return _lib
 

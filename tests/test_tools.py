@@ -82,3 +82,13 @@ def test_mtx_dumps(sim_run, tmp_path):
         capture_output=True, text=True)
     assert rc.returncode == 0, rc.stdout + rc.stderr
     assert "0 bad" in rc.stdout
+
+
+def test_native_paf_matches_python(sim_run, tmp_path):
+    from elba_tpu.io.paf import write_paf, paf_lines
+    import elba_tpu.native.loader as L
+    prefix, result = sim_run
+    write_paf(result.R, result.readset.names, str(tmp_path / "native.paf"))
+    expect = "\n".join(paf_lines(result.R, result.readset.names)) + "\n"
+    got = (tmp_path / "native.paf").read_text()
+    assert got == expect
