@@ -66,7 +66,7 @@ DONE, PAUSED = 0, 1
  P_BEST0, P_BEC0, P_BER0, P_BES0) = range(21)
 # sc (SMEM) columns
 (S_MC, S_XC, S_HI3, S_BEST, S_BEC, S_BER, S_BES, S_ACT, S_OVF, S_COLS,
- S_ROWS, S_STATUS, S_ADN, S_DELTA, S_UNUSED, S_GRB) = range(16)
+ S_ROWS, S_STATUS, S_ADN, S_DELTA) = range(14)
 # output columns
 (O_BES, O_BEC, O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3, O_BEST,
  O_ADN) = range(10)
@@ -77,19 +77,12 @@ def _align(x):
 
 
 def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
-            sc_ref, qc_ref, tc_ref):
+            sc_ref):
     """Register-resident band: the two live antidiagonals ride the
     while-loop carry as [SUB, WWIN] arrays anchored at each item's aligned
     window base; re-anchoring after a band advance is a select over three
     static lane shifts (0/128/256), exact because shifted-in columns lie
-    beyond the source antidiagonal's creation extent (undef).
-
-    Sequence caches: the query window (adn-independent) and the reversed
-    target window (drifts one lane per antidiagonal) live in VMEM caches
-    (qc_ref / tc_ref).  Most iterations just roll tc_ref by one lane; the
-    expensive per-item dynamic-roll rebuild runs only when a band window
-    jumped, the drift budget (BANDW lanes) is spent, or at kernel start --
-    amortizing it ~100x."""
+    beyond the source antidiagonal's creation extent (undef)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
     lane1 = lane[0, :BANDW]
     lane2 = lane[0]
@@ -132,9 +125,6 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             (sc_ref[s, S_MC] < sc_ref[s, S_XC]), 1, 0)
         sc_ref[s, S_ADN] = sc_ref[s, S_DELTA] + 2
 
-    sc_ref[0, S_GRB] = 1   # global: sequence caches need a rebuild
-    sc_ref[1, S_GRB] = 0   # global: fast-path drift since last rebuild
-
     undefv0 = params_ref[:, P_UNDEF].reshape(SUB, 1)
     resv = params_ref[:, P_RESUME].reshape(SUB, 1)
     initv = params_ref[:, P_INIT].reshape(SUB, 1)
@@ -173,7 +163,9 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
                     sc_ref[s, S_ACT] = 0
                     sc_ref[s, S_ADN] = adn
 
-        # ---- per-item scalars --------------------------------------------
+        # ---- per-item sequence windows (band lives in registers) ---------
+        rows_q = []
+        rows_t = []
         basev, l3v, mcv, xcv, hi2v, adnv, actv = [], [], [], [], [], [], []
         for s in range(SUB):
             act = sc_ref[s, S_ACT]
@@ -181,7 +173,26 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             mc = jnp.where(act > 0, sc_ref[s, S_MC], 1)
             xc = jnp.where(act > 0, sc_ref[s, S_XC], 2)
             l3 = mc - 1
-            basev.append(pl.multiple_of(_align(l3), BANDW))
+            base = pl.multiple_of(_align(l3), BANDW)
+
+            qoff = jnp.where(act > 0, params_ref[s, P_QOFF], 0)
+            qs_start = pl.multiple_of(
+                jnp.clip(base - qoff, 0, QW - WWIN), BANDW)
+            rows_q.append(qw_ref[s, pl.ds(qs_start, WWIN)])
+
+            tanch = params_ref[s, P_TANCH]
+            toff = jnp.where(act > 0, params_ref[s, P_TOFF], 0)
+            jcb = tanch - adn + 1 + base
+            tb = _align(jcb)
+            offt = jcb - tb
+            ts_start = pl.multiple_of(
+                jnp.clip(tb - toff, 0, TW - 3 * BANDW), BANDW)
+            t3 = tw_ref[s, pl.ds(ts_start, 3 * BANDW)].astype(jnp.int32)
+            trow = pltpu.roll(t3.reshape(1, 3 * BANDW),
+                              3 * BANDW - offt, 1)[0, :WWIN]
+            rows_t.append(trow)
+
+            basev.append(base)
             l3v.append(l3)
             mcv.append(mc)
             xcv.append(xc)
@@ -189,57 +200,8 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             adnv.append(adn)
             actv.append(act)
 
-        # ---- sequence windows via cached registers -----------------------
-        # rebuild when flagged (start / band jump / drift budget spent)
-        @pl.when(sc_ref[0, S_GRB] > 0)
-        def _():
-            for s in range(SUB):
-                act = sc_ref[s, S_ACT]
-                base = basev[s]
-                adn = adnv[s]
-                qoff = jnp.where(act > 0, params_ref[s, P_QOFF], 0)
-                qs_start = pl.multiple_of(
-                    jnp.clip(base - qoff, 0, QW - WWIN), BANDW)
-                qc_ref[s, :] = qw_ref[s, pl.ds(qs_start, WWIN)].astype(
-                    jnp.int32)
-
-                # tc lane u holds the t value at virtual col base-128+u for
-                # this adn: t_item[adn - (base-128+u) - 1], i.e. TW index
-                # (tanch - adn + 1 + base - 128 - toff) + u
-                tanch = params_ref[s, P_TANCH]
-                toff = jnp.where(act > 0, params_ref[s, P_TOFF], 0)
-                jv = tanch - adn + 1 + base - BANDW
-                ts_start = pl.multiple_of(
-                    jnp.clip(_align(jv - toff), 0, TW - 4 * BANDW), BANDW)
-                # signed offset: when jv dips below the window (only lanes
-                # whose TSR index exceeds tanch -> posT beyond the target
-                # string, never read by live cells) the roll wraps them
-                off2 = (jv - toff) - ts_start
-                t4 = tw_ref[s, pl.ds(ts_start, 4 * BANDW)].astype(jnp.int32)
-                trow = pltpu.roll(
-                    t4.reshape(1, 4 * BANDW),
-                    jnp.remainder(4 * BANDW - off2, 4 * BANDW),
-                    1)[0, :3 * BANDW]
-                tc_ref[s, :] = trow
-            sc_ref[0, S_GRB] = 0
-            sc_ref[1, S_GRB] = 0
-
-        @pl.when(sc_ref[0, S_GRB] == 0)
-        def _():
-            pass
-
-        # fast path: one static roll per iteration consumes one drift lane
-        @pl.when(sc_ref[1, S_GRB] > 0)
-        def _():
-            tc_ref[:, :] = pltpu.roll(tc_ref[:, :], 1, 1)
-        sc_ref[1, S_GRB] = sc_ref[1, S_GRB] + 1
-        # next iteration must rebuild once the 128-lane drift room is gone
-        @pl.when(sc_ref[1, S_GRB] >= BANDW - 1)
-        def _():
-            sc_ref[0, S_GRB] = 1
-
-        qv = qc_ref[:, :]
-        tv = tc_ref[:, BANDW:3 * BANDW]
+        qv = jnp.stack(rows_q)
+        tv = jnp.stack(rows_t)
         basec = jnp.stack(basev).reshape(SUB, 1)
         l3c = jnp.stack(l3v).reshape(SUB, 1)
         mc = jnp.stack(mcv).reshape(SUB, 1)
@@ -354,12 +316,6 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         a1n = jnp.where(actc > 0, reanchor(a2), a1)
         a2n = jnp.where(actc > 0, reanchor(ad3), a2)
 
-        # any active-band jump invalidates the sequence caches
-        for s in range(SUB):
-            @pl.when((jnp.int32(actv[s]) > 0) & (nb[s] != basev[s]))
-            def _():
-                sc_ref[0, S_GRB] = 1
-
         return (ad_no + 1, nactive(), a1n, a2n)
 
     _, _, a1f, a2f = jax.lax.while_loop(
@@ -412,8 +368,6 @@ def _extend_rounds_x32(params, qw, tw, st_in, interpret: bool = False):
         ),
         scratch_shapes=[
             pltpu.SMEM((SUB, 16), jnp.int32),
-            pltpu.VMEM((SUB, WWIN), jnp.int32),
-            pltpu.VMEM((SUB, 3 * BANDW), jnp.int32),
         ],
         interpret=interpret,
     )(params, qw, tw, st_in)
