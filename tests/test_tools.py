@@ -92,3 +92,15 @@ def test_native_paf_matches_python(sim_run, tmp_path):
     expect = "\n".join(paf_lines(result.R, result.readset.names)) + "\n"
     got = (tmp_path / "native.paf").read_text()
     assert got == expect
+
+
+def test_write_ordered_multiprocess_emulation(tmp_path):
+    from elba_tpu.io.ordered import write_ordered
+    path = str(tmp_path / "out.paf")
+    # emulate 3 processes; non-root parts land first (the barrier
+    # guarantees this ordering in a real multi-host run)
+    for pi in (2, 1):
+        write_ordered(f"part{pi}\n".encode(), path,
+                      process_index=pi, process_count=3)
+    write_ordered(b"part0\n", path, process_index=0, process_count=3)
+    assert open(path).read() == "part0\npart1\npart2\n"
