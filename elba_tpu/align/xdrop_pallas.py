@@ -378,6 +378,9 @@ def xdrop_extend_items_rounds(params, qw, tw, st_in, interpret=False):
     # the kernel is all-32-bit; trace with x64 disabled (int64 in a Mosaic
     # kernel makes the convert-type lowering recurse forever)
     with jax.enable_x64(False):
+        if params.shape[1] < 128:   # narrow host transfer, pad on device
+            params = jnp.pad(jnp.asarray(params),
+                             ((0, 0), (0, 128 - params.shape[1])))
         return _extend_rounds_x32(params, qw, tw, st_in, interpret)
 
 
@@ -499,7 +502,8 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
     toffs = window_toff(tb0)
     resume = np.zeros(n_items, np.int32)
     saved = np.zeros((n_items, 8), np.int64)
-    state = np.zeros((n_items, 2, WWIN), np.int32)
+    # continuation band state stays device-resident across rounds
+    state_dev = jnp.zeros((n_items, 2, WWIN), jnp.int32)
     final = np.zeros((n_items, 10), np.int64)
     live = np.flatnonzero(np.repeat(seed_ok, 2))
 
@@ -508,7 +512,7 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
         rounds += 1
         nsel = len(live)
         npad = max(16, 1 << int(np.ceil(np.log2(nsel))))
-        par = np.zeros((npad, 128), np.int32)
+        par = np.zeros((npad, 32), np.int32)
         par[:nsel, P_COLS] = cols[live]
         par[:nsel, P_ROWS] = rows[live]
         par[:nsel, P_ACTIVE] = 1
@@ -533,22 +537,20 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
         par[:nsel, P_BES0] = saved[live, 6]
 
         qwv, twv = build_windows(live, qoffs[live], toffs[live])
-        sti = np.concatenate(
-            [state[live],
-             np.zeros((npad - nsel, 2, WWIN), np.int32)]).astype(np.int32)
+        live_dev = jnp.asarray(
+            np.concatenate([live, np.zeros(npad - nsel, np.int64)]))
+        sti = state_dev[live_dev]
 
         out, st_out = xdrop_extend_items_rounds(
-            jnp.asarray(par), qwv, twv,
-            jnp.asarray(sti), interpret)
+            jnp.asarray(par), qwv, twv, sti, interpret)
+        state_dev = state_dev.at[live_dev[:nsel]].set(st_out[:nsel])
         out = np.asarray(out)[:nsel]
-        st_out = np.asarray(st_out)[:nsel]
 
         final[live, :] = out[:, :10]
         paused = out[:, O_STATUS] == PAUSED
         still = live[paused]
         if len(still):
             idx = np.flatnonzero(paused)
-            state[still] = st_out[idx]
             saved[still, 0] = out[idx, O_MC]
             saved[still, 1] = out[idx, O_XC]
             saved[still, 2] = out[idx, O_HI3]

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .extract import extract_canonical_kmers, extract_canonical_kmers2
+from .extract import (extract_canonical_kmers, extract_canonical_kmers2,
+                      extract_canonical_np, extract_canonical_np2)
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -76,15 +77,18 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
 
     codes/lengths: padded reads (device or numpy), read_ids: global ids.
     """
-    codes = jnp.asarray(codes)
-    lengths = jnp.asarray(lengths)
-    read_ids = jnp.asarray(read_ids, dtype=jnp.int64)
+    # host extraction: the counting sort is host-side, so a device
+    # round-trip would only add transfer cost (the distributed step keeps
+    # extraction on device because its consumer is on device)
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    read_ids = np.asarray(read_ids, dtype=np.int64)
     two_word = k > 32
     if two_word:
-        chi, clo, valid = extract_canonical_kmers2(codes, lengths, k)
+        chi, clo, valid = extract_canonical_np2(codes, lengths, k)
         canon = chi  # primary sort word; secondary handled below
     else:
-        canon, valid = extract_canonical_kmers(codes, lengths, k)
+        canon, valid = extract_canonical_np(codes, lengths, k)
     if canon.shape[1] == 0:
         return KmerMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
                           np.zeros(0, np.int32), np.zeros(0, np.uint64),

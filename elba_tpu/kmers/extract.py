@@ -131,3 +131,56 @@ def canonical_ref2(seq_codes: np.ndarray, k: int):
                 lo |= int(c) << (2 * (31 - (j - 32)))
         out[p] = (hi, lo)
     return out
+
+
+def extract_canonical_np(codes: np.ndarray, lengths: np.ndarray, k: int):
+    """Vectorized numpy extraction (same algorithm as the jit version).
+
+    The single-host counting path sorts on host anyway, so extracting on
+    host avoids a device round-trip; the device extraction is used where
+    the consumer stays on device (the distributed SPMD step)."""
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        return np.zeros((R, 0), np.uint64), np.zeros((R, 0), bool)
+    c64 = codes.astype(np.uint64)
+    fwd = np.zeros((R, W), np.uint64)
+    rc = np.zeros((R, W), np.uint64)
+    for j in range(k):
+        col = c64[:, j:j + W]
+        fwd |= col << np.uint64(2 * (k - 1 - j))
+        rc |= (np.uint64(3) - col) << np.uint64(2 * j)
+    canon = np.minimum(fwd, rc)
+    valid = np.arange(W)[None, :] <= (lengths[:, None] - k)
+    return canon, valid
+
+
+def extract_canonical_np2(codes: np.ndarray, lengths: np.ndarray, k: int):
+    """Two-word numpy extraction for 32 < k <= 64."""
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        z = np.zeros((R, 0), np.uint64)
+        return z, z, np.zeros((R, 0), bool)
+    c64 = codes.astype(np.uint64)
+    fhi = np.zeros((R, W), np.uint64)
+    flo = np.zeros((R, W), np.uint64)
+    rhi = np.zeros((R, W), np.uint64)
+    rlo = np.zeros((R, W), np.uint64)
+    for j in range(k):
+        col = c64[:, j:j + W]
+        comp = np.uint64(3) - col
+        if j < 32:
+            fhi |= col << np.uint64(2 * (31 - j))
+        else:
+            flo |= col << np.uint64(2 * (31 - (j - 32)))
+        ti = k - 1 - j
+        if ti < 32:
+            rhi |= comp << np.uint64(2 * (31 - ti))
+        else:
+            rlo |= comp << np.uint64(2 * (31 - (ti - 32)))
+    twin_less = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
+    chi = np.where(twin_less, rhi, fhi)
+    clo = np.where(twin_less, rlo, flo)
+    valid = np.arange(W)[None, :] <= (lengths[:, None] - k)
+    return chi, clo, valid
