@@ -537,16 +537,20 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
         par[:nsel, P_BES0] = saved[live, 6]
 
         qwv, twv = build_windows(live, qoffs[live], toffs[live])
+        # every device op uses the power-of-two padded shape: arbitrary
+        # nsel-shaped ops would each trigger a fresh (remote) mini-compile
         live_dev = jnp.asarray(
-            np.concatenate([live, np.zeros(npad - nsel, np.int64)]))
-        sti = state_dev[live_dev]
+            np.concatenate([live,
+                            np.full(npad - nsel, n_items, np.int64)]))
+        sti = state_dev[jnp.clip(live_dev, 0, n_items - 1)]
 
         out, st_out = xdrop_extend_items_rounds(
             jnp.asarray(par), qwv, twv, sti, interpret)
-        state_dev = state_dev.at[live_dev[:nsel]].set(st_out[:nsel])
+        # out-of-range pad indices are dropped by the scatter
+        state_dev = state_dev.at[live_dev].set(st_out)
         # only the first 10 output lanes are meaningful; slice device-side
         # to keep the per-round host transfer small
-        out = np.asarray(out[:nsel, :16])
+        out = np.asarray(out[:, :16])[:nsel]
 
         final[live, :] = out[:, :10]
         paused = out[:, O_STATUS] == PAUSED
