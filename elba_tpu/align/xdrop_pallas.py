@@ -506,6 +506,10 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
     state_dev = jnp.zeros((n_items, 2, WWIN), jnp.int32)
     final = np.zeros((n_items, 10), np.int64)
     live = np.flatnonzero(np.repeat(seed_ok, 2))
+    # schedule items by extension size: kernel blocks of SUB items run in
+    # lockstep, so homogeneous blocks waste fewer iterations
+    work = np.maximum(cols, rows)
+    live = live[np.argsort(work[live], kind="stable")]
 
     rounds = 0
     while len(live) > 0 and rounds < 64:
