@@ -20,6 +20,15 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+import jax
+
+# the sitecustomize imports jax before this file runs, so the env var alone
+# is not seen at import time; the config route works post-import.  NB: with
+# no compilation cache configured the executable-dispatch path is ~3x
+# slower per call on the tunneled backend, so this is a perf setting too.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 import numpy as np
 
 
