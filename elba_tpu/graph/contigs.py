@@ -19,7 +19,7 @@ from typing import List
 
 import numpy as np
 
-from ..dseq.dna import ReadSet, codes_to_ascii, revcomp_codes
+from ..dseq.dna import ReadSet
 from ..dsparse.coo import COOMatrix
 from .cc import connected_components
 
