@@ -480,8 +480,7 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
                                   jnp.clip(src_t, 0, L - 1), axis=1)
         return qwv.astype(jnp.int8), twv.astype(jnp.int8)
 
-    def build_windows(item_ids, qoffs, toffs):
-        npad = max(16, 1 << int(np.ceil(np.log2(max(len(item_ids), 1)))))
+    def build_windows(item_ids, qoffs, toffs, npad):
         ii = np.zeros(npad, np.int64)
         qo = np.zeros(npad, np.int64)
         to = np.zeros(npad, np.int64)
@@ -511,11 +510,15 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
     work = np.maximum(cols, rows)
     live = live[np.argsort(work[live], kind="stable")]
 
+    # one padded shape for every continuation round: later rounds only
+    # shrink the live set, and padded (inactive) items cost one no-op
+    # iteration per kernel block -- while a new shape costs a remote
+    # kernel-wrapper compile
+    npad = max(16, 1 << int(np.ceil(np.log2(max(len(live), 1)))))
     rounds = 0
     while len(live) > 0 and rounds < 64:
         rounds += 1
         nsel = len(live)
-        npad = max(16, 1 << int(np.ceil(np.log2(nsel))))
         par = np.zeros((npad, 32), np.int32)
         par[:nsel, P_COLS] = cols[live]
         par[:nsel, P_ROWS] = rows[live]
@@ -540,7 +543,7 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
         par[:nsel, P_BER0] = saved[live, 5]
         par[:nsel, P_BES0] = saved[live, 6]
 
-        qwv, twv = build_windows(live, qoffs[live], toffs[live])
+        qwv, twv = build_windows(live, qoffs[live], toffs[live], npad)
         # every device op uses the power-of-two padded shape: arbitrary
         # nsel-shaped ops would each trigger a fresh (remote) mini-compile
         live_dev = jnp.asarray(

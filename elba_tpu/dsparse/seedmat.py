@@ -28,6 +28,34 @@ from ..utils.segments import expand_cross_products
 from .coo import COOMatrix
 
 
+
+
+def _reduce_pairs(qi, ti, pq, pt, n, w=None, s1q=None, s1t=None):
+    """Group pair products by (q, t) key in canonical order and fold the
+    SharedSeeds add: count sum, first seed, last seed.
+
+    w/s1q/s1t: when merging already-reduced chunks, each element carries a
+    weight (its count) and its own fold-last seed."""
+    key = ti * np.int64(n) + qi
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    qi, ti, pq, pt = qi[order], ti[order], pq[order], pt[order]
+    w = np.ones(len(key), np.int64) if w is None else w[order]
+    s1q = pq if s1q is None else s1q[order]
+    s1t = pt if s1t is None else s1t[order]
+
+    bound = np.ones(len(key), dtype=bool)
+    if len(key):
+        bound[1:] = key[1:] != key[:-1]
+    gstarts = np.flatnonzero(bound)
+    gend = np.append(gstarts[1:], len(key)) - 1
+    gid = np.cumsum(bound) - 1
+    gcounts = np.bincount(gid, weights=w, minlength=len(gstarts)
+                          ).astype(np.int64)
+    return (qi[gstarts], ti[gstarts], gcounts,
+            pq[gstarts], pt[gstarts], s1q[gend], s1t[gend])
+
+
 @dataclasses.dataclass
 class SeedMatrix:
     """B (reads x reads): candidate overlap pairs with shared-seed info."""
@@ -39,51 +67,73 @@ class SeedMatrix:
 
 
 def build_seed_matrix(A: KmerMatrix, min_shared: int = 2,
-                      full: bool = True) -> SeedMatrix:
+                      full: bool = True,
+                      max_products: int = 200_000_000) -> SeedMatrix:
     """Compute B = A A^T under the SharedSeeds semiring.
 
     full=True emits both triangles + diagonal (like the reference's B);
     full=False emits only strictly-upper pairs (the set alignment consumes).
+
+    The expansion is memory-bounded: k-mer groups are processed in chunks
+    of at most `max_products` semiring products each (the single-host
+    analogue of the reference's MAX_ALLTOALL_MEM streaming batches,
+    KmerOps.hpp:10-12) and merged by key at the end -- chunk boundaries
+    fall between k-mer groups, so the canonical (kmer, posQ, posT) merge
+    order is preserved.
     """
     K = A.num_kmers
     counts = np.bincount(A.cols, minlength=K).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
-    li, ri = expand_cross_products(starts, counts)
-    qi = A.rows[li]
-    ti = A.rows[ri]
-    pq = A.pos[li].astype(np.int32)
-    pt = A.pos[ri].astype(np.int32)
+    sizes = counts * counts
+    total = int(sizes.sum())
+    n = A.num_reads
 
-    if not full:
-        m = qi < ti
-        qi, ti, pq, pt = qi[m], ti[m], pq[m], pt[m]
+    def expand(lo, hi):
+        li, ri = expand_cross_products(starts[lo:hi], counts[lo:hi])
+        qi = A.rows[li]
+        ti = A.rows[ri]
+        pq = A.pos[li].astype(np.int32)
+        pt = A.pos[ri].astype(np.int32)
+        if not full:
+            m = qi < ti
+            qi, ti, pq, pt = qi[m], ti[m], pq[m], pt[m]
+        return qi, ti, pq, pt
 
-    n = np.int64(A.num_reads)
-    key = ti * n + qi  # column-major canonical order
-    # pairs were generated in (kmer rank, readid, pos) order; stable sort
-    # preserves that within each (q, t) group
-    order = np.argsort(key, kind="stable")
-    key = key[order]
-    qi, ti, pq, pt = qi[order], ti[order], pq[order], pt[order]
-
-    bound = np.ones(len(key), dtype=bool)
-    if len(key):
-        bound[1:] = key[1:] != key[:-1]
-    gstarts = np.flatnonzero(bound)
-    gcounts = np.diff(np.append(gstarts, len(key)))
+    if total > max_products:
+        # product-bounded chunks (boundaries between k-mer groups), each
+        # reduced before merging so peak memory is O(max_products + nnz(B))
+        cum = np.cumsum(sizes)
+        bounds = [0]
+        while bounds[-1] < K:
+            lo = bounds[-1]
+            base = cum[lo - 1] if lo else 0
+            hi = int(np.searchsorted(cum, base + max_products, "right"))
+            bounds.append(max(hi, lo + 1))
+        red = [_reduce_pairs(*expand(lo, hi), n)
+               for lo, hi in zip(bounds[:-1], bounds[1:])]
+        qi = np.concatenate([r[0] for r in red])
+        ti = np.concatenate([r[1] for r in red])
+        w = np.concatenate([r[2] for r in red])
+        pq = np.concatenate([r[3] for r in red])
+        pt = np.concatenate([r[4] for r in red])
+        s1q = np.concatenate([r[5] for r in red])
+        s1t = np.concatenate([r[6] for r in red])
+        # chunk order == kmer order, so a stable merge keeps fold semantics
+        qi, ti, gcounts, pq0, pt0, s1q, s1t = _reduce_pairs(
+            qi, ti, pq, pt, n, w=w, s1q=s1q, s1t=s1t)
+    else:
+        qi, ti, gcounts, pq0, pt0, s1q, s1t = _reduce_pairs(
+            *expand(0, K), n)
 
     keep = gcounts >= min_shared
-    gstarts, gcounts = gstarts[keep], gcounts[keep]
-    last = gstarts + gcounts - 1
-
     vals = dict(
-        numshared=gcounts.astype(np.int32),
-        seedQ0=pq[gstarts], seedT0=pt[gstarts],
-        seedQ1=pq[last], seedT1=pt[last],
+        numshared=gcounts[keep].astype(np.int32),
+        seedQ0=pq0[keep], seedT0=pt0[keep],
+        seedQ1=s1q[keep], seedT1=s1t[keep],
     )
-    mat = COOMatrix(rows=qi[gstarts].astype(np.int64),
-                    cols=ti[gstarts].astype(np.int64),
+    mat = COOMatrix(rows=qi[keep].astype(np.int64),
+                    cols=ti[keep].astype(np.int64),
                     vals=vals,
                     shape=(A.num_reads, A.num_reads))
     return SeedMatrix(mat=mat)

@@ -54,13 +54,10 @@ def run_distributed_overlap(readset: ReadSet, params: PipelineParams,
     # the jitted exchange with exact static capacities
     if not (kmer_cap and pair_cap and align_cap):
         from ..kmers.count import build_kmer_matrix
-        from ..kmers.extract import extract_canonical_kmers
+        from ..kmers.extract import extract_canonical_np
         from .dist_overlap import MIX as _MIX
 
-        canon, valid = extract_canonical_kmers(
-            jnp.asarray(codes), jnp.asarray(lengths), params.k)
-        canon = np.asarray(canon)
-        valid = np.asarray(valid)
+        canon, valid = extract_canonical_np(codes, lengths, params.k)
         src_dev = np.repeat(np.arange(npad) // Rb, canon.shape[1]
                             ).reshape(npad, -1)
         owner = ((canon * np.uint64(_MIX)) % np.uint64(nproc)).astype(
@@ -77,7 +74,6 @@ def run_distributed_overlap(readset: ReadSet, params: PipelineParams,
         # c instances the owner emits c*(c-1)/2 a<b pairs
         kowner = ((A.kmers * np.uint64(_MIX)) % np.uint64(nproc)).astype(
             np.int64)
-        pq_src = kowner[A.cols]
         # enumerate a<b instance pairs exactly like the kernel
         from ..utils.segments import expand_cross_products
         counts = np.bincount(A.cols, minlength=A.num_kmers)
@@ -169,3 +165,36 @@ def run_distributed_pipeline(readset: ReadSet, params: PipelineParams,
     S = transitive_reduction(Rp)
     contigs = generate_contigs(S, readset)
     return R, S, contigs
+
+
+def estimate_capacities_hll(readset: ReadSet, params: PipelineParams,
+                            nproc: int, slack: float = 1.5):
+    """HLL-based capacity estimation for the distributed exchanges -- the
+    role HyperLogLog plays in the reference (sizing the distributed hash
+    table from the global distinct-k-mer estimate, KmerOps.cpp:45-73).
+
+    Cheaper than the exact two-phase count at scale: one pass of canonical
+    extraction feeds the sketch; capacities are the balanced share times a
+    slack factor.  The SPMD step still *reports* drops, so an underestimate
+    is an error, never silent truncation.
+    """
+    from ..kmers.extract import extract_canonical_np
+    from ..sketch import HyperLogLog
+
+    codes = readset.padded_codes()
+    lengths = readset.lengths
+    canon, valid = extract_canonical_np(codes, lengths, params.k)
+    instances = int(valid.sum())
+
+    hll = HyperLogLog()
+    hll.add(canon[valid])
+    distinct = hll.estimate()
+    mean_count = max(instances / max(distinct, 1.0), 1.0)
+
+    kmer_cap = int(instances / nproc * slack) + 128
+    # pairs per instance ~ (count - 1) / 2 for counts <= upper
+    c = min(mean_count, params.upper_freq)
+    pair_cap = int(instances * (c - 1) / 2 / nproc * slack) + 128
+    align_cap = pair_cap
+    rup = lambda x: -(-x // 128) * 128
+    return rup(kmer_cap), rup(pair_cap), rup(align_cap)

@@ -72,3 +72,14 @@ def test_distributed_pipeline_end_to_end(workload):
     assert np.array_equal(Sd.cols, S1.cols)
     assert contigs_d == contigs_1
     assert len(contigs_d) >= 1
+
+
+def test_hll_capacity_estimation(workload):
+    from elba_tpu.parallel.dist_pipeline import estimate_capacities_hll
+    rs, R1 = workload
+    kc, pc_, ac = estimate_capacities_hll(rs, PARAMS, nproc=8)
+    # estimated capacities must be sufficient for the real run
+    mesh = make_mesh2d(jax.devices()[:8])
+    R2 = run_distributed_overlap(rs, PARAMS, mesh, kmer_cap=kc,
+                                 pair_cap=pc_, align_cap=ac)
+    assert R2.nnz == R1.nnz

@@ -109,3 +109,22 @@ def test_device_seedmat_matches_host(rng):
                    ("seedT0", "seedT0"), ("seedQ1", "seedQ1"),
                    ("seedT1", "seedT1")]:
         assert np.array_equal(res[df][sel], host.vals[hf]), df
+
+
+def test_chunked_expansion_matches_unchunked(rng):
+    k = 7
+    reads = []
+    motifs = [random_dna(rng, 30) for _ in range(4)]
+    for i in range(12):
+        r = random_dna(rng, 80)
+        r[10:40] = motifs[i % 4]
+        reads.append("".join("ACGT"[c] for c in r))
+    rs = ReadSet.from_sequences(reads)
+    A = build_kmer_matrix(rs, k, 2, 8)
+    big = build_seed_matrix(A, min_shared=2, full=True).mat
+    small = build_seed_matrix(A, min_shared=2, full=True,
+                              max_products=64).mat
+    assert np.array_equal(big.rows, small.rows)
+    assert np.array_equal(big.cols, small.cols)
+    for f in big.vals:
+        assert np.array_equal(big.vals[f], small.vals[f]), f
