@@ -72,10 +72,25 @@ def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
         res = xdrop_pairs_pallas(q, t, lens, lens, bq, bt, k, 1, -1, -1, 15)
         best = min(best, time.time() - t0)
     nscored = int((np.asarray(res["score"]) > 0).sum())
+
+    # on-device exactness regression: a sample of the real-chip Pallas
+    # results must match the integer oracle field-for-field every bench run
+    # (the reference's semantic-checker ethos, test.py:1-66); one silent
+    # Mosaic lowering change would otherwise corrupt every alignment while
+    # the throughput number still looks great
+    from elba_tpu.align.xdrop_ref import xdrop_align_ref
+    sample = np.linspace(0, pairs - 1, 64).astype(int)
+    exact = True
+    for i in sample:
+        ref = xdrop_align_ref(q[i], t[i], int(bq[i]), int(bt[i]),
+                              k, 1, -1, -1, 15)
+        for f in ("score", "begQ", "endQ", "begT", "endT", "rc"):
+            if int(res[f][i]) != int(ref[f]):
+                exact = False
     return pairs / best, dict(batch=pairs, read_len=read_len,
                               seconds=round(best, 4),
                               compile_seconds=round(compile_s, 1),
-                              scored=nscored)
+                              scored=nscored, exact=exact)
 
 
 def bench_spgemm():
@@ -169,6 +184,7 @@ def main():
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / base, 3),
+        "exact": extra.get("xdrop", {}).get("exact", False),
         "extra": extra,
     }))
 

@@ -42,7 +42,9 @@ def _local_minplus_join(li, lk, ldir, lsuf, rk, rj, rdir, rsuf, cfg):
     """Products of left entries (i,k) with right entries (k,j) sharing k.
 
     All inputs are padded arrays with key sentinels; returns padded product
-    arrays (key = i * n + j col-major-free encoding, slot, value)."""
+    arrays (key = i * n + j col-major-free encoding, slot, value) plus the
+    number of partners beyond the static max_degree bound that could NOT be
+    enumerated (reported, never silently dropped)."""
     n = jnp.int64(cfg.n)
     D = cfg.max_degree
 
@@ -53,6 +55,13 @@ def _local_minplus_join(li, lk, ldir, lsuf, rk, rj, rdir, rsuf, cfg):
     rsuf_s = rsuf[order]
 
     start = jnp.searchsorted(rk_s, lk)
+    # partners beyond the static degree bound would be silently skipped by
+    # the offset enumeration below; count them so callers can retry with a
+    # bigger max_degree (same contract as the capacity drops elsewhere)
+    end = jnp.searchsorted(rk_s, lk, side="right")
+    overflow = jnp.sum(
+        jnp.where(lk < EMPTY,
+                  jnp.maximum(end - start - D, 0), 0))
     prods = []
     for o in range(D):
         idx = jnp.clip(start + o, 0, rk_s.shape[0] - 1)
@@ -67,7 +76,7 @@ def _local_minplus_join(li, lk, ldir, lsuf, rk, rj, rdir, rsuf, cfg):
     key = jnp.concatenate([p[0] for p in prods])
     slot = jnp.concatenate([p[1] for p in prods])
     val = jnp.concatenate([p[2] for p in prods])
-    return key, slot, val
+    return key, slot, val, overflow
 
 
 def build_distributed_tr_step(mesh: Mesh, cfg: DistTRConfig):
@@ -105,7 +114,7 @@ def build_distributed_tr_step(mesh: Mesh, cfg: DistTRConfig):
         valid_l = pk_i < cfg.n
         lk = jnp.where(valid_l, pk_k, EMPTY)
         rk = jnp.where(sk_k < cfg.n, sk_k, EMPTY)
-        jkey, jslot, jval = _local_minplus_join(
+        jkey, jslot, jval, joverflow = _local_minplus_join(
             pk_i, lk, pdir, psuf, rk, sk_j, sdir, ssuf, cfg)
 
         # segment-min products by (i, j) key, then look up local entries
@@ -133,8 +142,9 @@ def build_distributed_tr_step(mesh: Mesh, cfg: DistTRConfig):
 
         nmarks = jax.lax.psum(jnp.sum(marks), ("r", "c"))
         nprod = jax.lax.psum(jnp.sum(jkey < EMPTY), ("r", "c"))
+        novf = jax.lax.psum(joverflow, ("r", "c"))
         return (marks.reshape(1, -1),
-                dict(marks=nmarks, products=nprod))
+                dict(marks=nmarks, products=nprod, join_overflow=novf))
 
     fn = shard_map(
         step, mesh=mesh,

@@ -64,10 +64,10 @@ class PhaseTimer:
 
 
 class ProcessLogger:
-    """Per-process log buffer; flush() prints a banner plus each
-    process's buffered lines (single-host: just this process; multi-host:
-    each jax process prints its own under the same banner, which is the
-    SPMD equivalent of the reference's gatherv-to-root)."""
+    """Per-process log buffer; flush() gathers every process's buffered
+    text to process 0, which prints one banner plus each process's lines in
+    process order -- the reference's Logger::Flush Gather+Gatherv-to-root
+    (Logger.cpp:83-129).  Single-process runs degrade to a plain print."""
 
     def __init__(self):
         self.buf: List[str] = []
@@ -75,10 +75,47 @@ class ProcessLogger:
     def __call__(self, msg: str):
         self.buf.append(str(msg))
 
-    def flush(self, label: str, log=print):
+    def flush(self, label: str, log=print, gather=None):
+        """gather: callable(bytes) -> list[bytes] returning every process's
+        payload in process order (injected in tests; defaults to
+        multihost_utils.process_allgather when process_count > 1)."""
         pid = jax.process_index()
+        pc = jax.process_count()
+        payload = "\n".join(self.buf).encode()
+        self.buf.clear()
+
+        if gather is None:
+            if pc == 1:
+                gather = lambda b: [b]
+            else:
+                gather = _allgather_bytes
+        texts = gather(payload)
+
+        if pid != 0:
+            return
         if log:
             log(f"==== {label} ====")
-            for line in self.buf:
-                log(f"[proc {pid}] {line}")
-        self.buf.clear()
+            for rank, blob in enumerate(texts):
+                text = blob.decode()
+                if not text:
+                    continue
+                for line in text.splitlines():
+                    log(f"[proc {rank}] {line}")
+
+
+def _allgather_bytes(payload: bytes):
+    """All-gather variable-length byte strings across jax processes
+    (the Gather-of-counts + Gatherv-of-bytes pair of the reference, done
+    with one padded array allgather)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    n = len(payload)
+    maxlen = int(multihost_utils.process_allgather(
+        np.asarray(n, np.int32)).max())
+    buf = np.zeros(maxlen, np.uint8)
+    buf[:n] = np.frombuffer(payload, np.uint8)
+    lens = multihost_utils.process_allgather(np.asarray(n, np.int32))
+    all_bufs = multihost_utils.process_allgather(buf)
+    return [all_bufs[r, :int(lens[r])].tobytes()
+            for r in range(all_bufs.shape[0])]

@@ -78,6 +78,46 @@ def test_dist_tr_marks_match_single_device(rng):
         assert (i, j) not in kept
 
 
+def _route_blocks(S, mesh, n, cap):
+    pr, pc = mesh.devices.shape
+    nproc = pr * pc
+    rows_per = -(-n // pr)
+    cols_per = -(-n // pc)
+    keys = np.full((nproc, cap), 2**62, np.int64)
+    dirs = np.full((nproc, cap), -1, np.int8)
+    sufs = np.zeros((nproc, cap), np.int32)
+    fill = np.zeros(nproc, int)
+    for e in range(S.nnz):
+        i, j = int(S.rows[e]), int(S.cols[e])
+        d = (i // rows_per) * pc + (j // cols_per)
+        keys[d, fill[d]] = i * n + j
+        dirs[d, fill[d]] = S.vals["direction"][e]
+        sufs[d, fill[d]] = S.vals["suffix"][e]
+        fill[d] += 1
+    return keys, dirs, sufs
+
+
+def test_dist_tr_join_overflow_reported(rng):
+    """Panel partners beyond the static max_degree bound must be COUNTED
+    (join_overflow stat), never silently dropped."""
+    n = 12
+    # star: vertex 0 overlaps every other vertex -> middle-vertex degree 11
+    edges = [(0, j, overlap_edge(400, 400, 1, 2)) for j in range(1, n)]
+    S = symmetricize(mk_overlap_matrix(n, edges))
+    mesh = make_mesh2d(jax.devices()[:4])
+    keys, dirs, sufs = _route_blocks(S, mesh, n, cap=32)
+
+    small = build_distributed_tr_step(
+        mesh, DistTRConfig(n=n, block_cap=32, join_cap=4096, max_degree=4))
+    _, stats = small(jnp.asarray(keys), jnp.asarray(dirs), jnp.asarray(sufs))
+    assert int(stats["join_overflow"]) > 0
+
+    big = build_distributed_tr_step(
+        mesh, DistTRConfig(n=n, block_cap=32, join_cap=4096, max_degree=16))
+    _, stats2 = big(jnp.asarray(keys), jnp.asarray(dirs), jnp.asarray(sufs))
+    assert int(stats2["join_overflow"]) == 0
+
+
 def test_distributed_cc_matches_single_device(rng):
     import jax
     from elba_tpu.parallel.mesh import make_mesh2d
