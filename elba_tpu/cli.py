@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", type=str, default=d.output_prefix,
                    help=f"output file name prefix [{d.output_prefix}]")
     p.add_argument("-k", type=int, default=d.k,
-                   help=f"k-mer size, odd, <= 64 [{d.k}]")
+                   help=f"k-mer size, odd, < 96 [{d.k}]")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the JAX platform to CPU (the container "
+                        "otherwise force-selects the TPU backend)")
     p.add_argument("-l", type=int, default=d.lower_freq,
                    help=f"lower reliable k-mer frequency [{d.lower_freq}]")
     p.add_argument("-u", type=int, default=d.upper_freq,
@@ -47,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     params = PipelineParams(
         k=args.k, lower_freq=args.l, upper_freq=args.u,
         mat=args.A, mis=-args.B, gap=-args.G, xdrop=args.x,

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .extract import (extract_canonical_kmers, extract_canonical_kmers2,
-                      extract_canonical_np, extract_canonical_np2)
+                      extract_canonical_np, extract_canonical_np2,
+                      extract_canonical_words_np)
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -83,29 +84,26 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     read_ids = np.asarray(read_ids, dtype=np.int64)
-    two_word = k > 32
-    if two_word:
-        chi, clo, valid = extract_canonical_np2(codes, lengths, k)
-        canon = chi  # primary sort word; secondary handled below
-    else:
+    nwords = 1 if k <= 32 else (k + 31) // 32
+    if nwords == 1:
         canon, valid = extract_canonical_np(codes, lengths, k)
-    if canon.shape[1] == 0:
+        words = [canon]
+    else:
+        # generic multi-word path covers the reference's full k < 96 range
+        # (Kmer<2> for k <= 64, Kmer<3> for k <= 95, Kmer.hpp:95-97)
+        words, valid = extract_canonical_words_np(codes, lengths, k)
+    if words[0].shape[1] == 0:
         return KmerMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
                           np.zeros(0, np.int32), np.zeros(0, np.uint64),
                           int(codes.shape[0]), 0)
-    if two_word:
-        km, km2, rid, pos, nvalid = _sort_instances2(
-            chi, clo, valid, read_ids)
-    else:
-        km, rid, pos, nvalid = _sort_instances(canon, valid, read_ids)
-        km2 = None
+    kmw, rid, pos, nvalid = _sort_instances_words(words, valid, read_ids)
 
     boundaries = np.empty(nvalid, dtype=bool)
     if nvalid:
         boundaries[0] = True
-        np.not_equal(km[1:], km[:-1], out=boundaries[1:])
-        if km2 is not None:
-            boundaries[1:] |= km2[1:] != km2[:-1]
+        np.not_equal(kmw[0][1:], kmw[0][:-1], out=boundaries[1:])
+        for w in kmw[1:]:
+            boundaries[1:] |= w[1:] != w[:-1]
     starts = np.flatnonzero(boundaries)
     counts = np.diff(np.append(starts, nvalid))
 
@@ -119,8 +117,8 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
     rank_of_group = np.cumsum(reliable) - 1  # rank among reliable kmers
     rank_of_instance = rank_of_group[group_id]
 
-    kmers_out = (km[rel_starts] if km2 is None
-                 else np.stack([km[rel_starts], km2[rel_starts]], axis=1))
+    kmers_out = (kmw[0][rel_starts] if nwords == 1
+                 else np.stack([w[rel_starts] for w in kmw], axis=1))
     return KmerMatrix(
         rows=rid[keep].astype(np.int64),
         cols=rank_of_instance[keep],
@@ -131,19 +129,20 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
     )
 
 
-def _sort_instances2(chi, clo, valid, read_ids):
-    """Two-word variant: sort by (hi, lo, read, pos)."""
-    chi = np.asarray(chi)
-    clo = np.asarray(clo)
+def _sort_instances_words(words, valid, read_ids):
+    """Multi-word variant: sort by (word0, word1, ..., read, pos).
+
+    np.lexsort is stable and the row-major flattening is ascending in
+    (read, pos), so sorting by the word tuple alone yields the full
+    canonical instance order."""
     valid = np.asarray(valid)
     read_ids = np.asarray(read_ids)
     rid_f, pos_f = np.nonzero(valid)
-    hi = chi[rid_f, pos_f]
-    lo = clo[rid_f, pos_f]
+    flat = [np.asarray(w)[rid_f, pos_f] for w in words]
     rid = read_ids[rid_f]
     pos = pos_f.astype(np.int32)
-    order = np.lexsort((lo, hi))
-    return hi[order], lo[order], rid[order], pos[order], len(hi)
+    order = np.lexsort(tuple(reversed(flat)))
+    return ([w[order] for w in flat], rid[order], pos[order], len(flat[0]))
 
 
 def build_kmer_matrix(readset, k: int, lower: int, upper: int) -> KmerMatrix:

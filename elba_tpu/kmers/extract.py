@@ -155,6 +155,62 @@ def extract_canonical_np(codes: np.ndarray, lengths: np.ndarray, k: int):
     return canon, valid
 
 
+def extract_canonical_words_np(codes: np.ndarray, lengths: np.ndarray,
+                               k: int):
+    """Generic multi-word canonical extraction for 2 < k < 96 (the
+    reference's full range, Kmer.hpp:95-97: TKmer = Kmer<1|2|3> by
+    KMER_SIZE).  Word w packs bases [32w, 32w+32) MSB-first, so tuple
+    comparison of the word vectors equals lexicographic base comparison.
+
+    Returns (words, valid): words is a list of nwords uint64[R, W] arrays.
+    """
+    nw = (k + 31) // 32
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        z = [np.zeros((R, 0), np.uint64) for _ in range(nw)]
+        return z, np.zeros((R, 0), bool)
+    c64 = codes.astype(np.uint64)
+    fwd = [np.zeros((R, W), np.uint64) for _ in range(nw)]
+    rc = [np.zeros((R, W), np.uint64) for _ in range(nw)]
+    for j in range(k):
+        col = c64[:, j:j + W]
+        comp = np.uint64(3) - col
+        w, b = divmod(j, 32)
+        fwd[w] |= col << np.uint64(2 * (31 - b))
+        tw, tb = divmod(k - 1 - j, 32)
+        rc[tw] |= comp << np.uint64(2 * (31 - tb))
+    # lexicographic word-tuple compare: twin < fwd ?
+    twin_less = np.zeros((R, W), bool)
+    decided = np.zeros((R, W), bool)
+    for w in range(nw):
+        lt = rc[w] < fwd[w]
+        ne = rc[w] != fwd[w]
+        twin_less |= (~decided) & lt
+        decided |= ne
+    words = [np.where(twin_less, rc[w], fwd[w]) for w in range(nw)]
+    valid = np.arange(W)[None, :] <= (lengths[:, None] - k)
+    return words, valid
+
+
+def canonical_ref_words(seq_codes: np.ndarray, k: int) -> np.ndarray:
+    """Per-read numpy oracle for the generic multi-word extraction;
+    returns uint64[n, nwords]."""
+    nw = (k + 31) // 32
+    n = len(seq_codes) - k + 1
+    out = np.zeros((max(n, 0), nw), np.uint64)
+    rcseq = (3 - seq_codes[::-1]).astype(np.uint8)
+    for p in range(max(n, 0)):
+        fwd = tuple(int(c) for c in seq_codes[p:p + k])
+        twin = tuple(int(c) for c in rcseq[len(seq_codes) - k - p:
+                                           len(seq_codes) - p])
+        best = min(fwd, twin)
+        for j, c in enumerate(best):
+            w, b = divmod(j, 32)
+            out[p, w] |= np.uint64(c) << np.uint64(2 * (31 - b))
+    return out
+
+
 def extract_canonical_np2(codes: np.ndarray, lengths: np.ndarray, k: int):
     """Two-word numpy extraction for 32 < k <= 64."""
     R, L = codes.shape

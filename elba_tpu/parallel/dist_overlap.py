@@ -99,6 +99,11 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
     codes:   uint8[(pr*pc)*Rb, L]  sharded over both mesh axes (axis 0)
     lengths: int32[(pr*pc)*Rb]     likewise
     """
+    if cfg.k > 32:
+        raise ValueError(
+            "the distributed overlap step packs k-mers into one uint64 "
+            f"(k <= 32); got k={cfg.k}.  The single-device pipeline "
+            "supports k < 96 (kmers/count.py multi-word path).")
     pr, pc = mesh.devices.shape
     nproc = pr * pc
     Rb = cfg.reads_per_shard

@@ -19,7 +19,7 @@ import dataclasses
 @dataclasses.dataclass(frozen=True)
 class PipelineParams:
     # --- k-mer selection (reference compiletime.h:10,21) ---
-    k: int = 31                 # 2 < k < 96 and odd in the reference; we support 2 < k <= 64 (one- or two-word packing)
+    k: int = 31                 # 2 < k < 96 and odd, matching the reference's full Kmer<1|2|3> range (Kmer.hpp:95-97)
     lower_freq: int = 15        # LOWER_KMER_FREQ: keep k-mers with count >= lower
     upper_freq: int = 35        # UPPER_KMER_FREQ: keep k-mers with count <= upper
 
@@ -40,8 +40,8 @@ class PipelineParams:
     align_batch: int = 512      # pairs per alignment kernel launch
 
     def __post_init__(self):
-        if not (2 < self.k <= 64):
-            raise ValueError(f"k must be in (2, 64], got {self.k}")
+        if not (2 < self.k < 96):
+            raise ValueError(f"k must be in (2, 96), got {self.k}")
         if self.k % 2 == 0:
             raise ValueError(f"k must be odd (strand detection uses the middle base), got {self.k}")
         if not (0 < self.lower_freq <= self.upper_freq <= 65535):

@@ -135,3 +135,61 @@ def test_two_word_counting(rng):
     assert np.array_equal(
         m.kmers[np.lexsort((m.kmers[:, 1], m.kmers[:, 0]))],
         m2.kmers[np.lexsort((m2.kmers[:, 1], m2.kmers[:, 0]))])
+
+
+def test_multi_word_extraction_matches_oracle(rng):
+    from elba_tpu.kmers.extract import (extract_canonical_words_np,
+                                        canonical_ref_words,
+                                        extract_canonical_np2)
+    for k in [33, 63, 65, 79, 95]:
+        s = random_dna(rng, 200)
+        expect = canonical_ref_words(s, k)
+        words, valid = extract_canonical_words_np(
+            s[None, :], np.array([200]), k)
+        got = np.stack([w[0] for w in words], axis=1)[valid[0]]
+        assert np.array_equal(got, expect), k
+    # the generic path must agree with the dedicated two-word kernel
+    s = random_dna(rng, 150)
+    chi, clo, valid2 = extract_canonical_np2(s[None, :], np.array([150]), 41)
+    words, _ = extract_canonical_words_np(s[None, :], np.array([150]), 41)
+    assert np.array_equal(words[0], chi) and np.array_equal(words[1], clo)
+
+
+def test_three_word_counting(rng):
+    k = 95
+    core = random_dna(rng, 200)
+    reads = []
+    for i in range(5):
+        pre = random_dna(rng, 8 + 3 * i)
+        post = random_dna(rng, 12)
+        reads.append(np.concatenate([pre, core, post]))
+    rs = ReadSet.from_sequences(
+        ["".join("ACGT"[c] for c in r) for r in reads])
+    m = build_kmer_matrix(rs, k, 5, 5)
+    assert m.num_kmers == 200 - k + 1
+    assert m.nnz == 5 * (200 - k + 1)
+    assert m.kmers.shape == (m.num_kmers, 3)
+    # strand invariance
+    rc = [("".join("ACGT"[c] for c in (3 - r[::-1]))) for r in reads]
+    m2 = build_kmer_matrix(ReadSet.from_sequences(rc), k, 5, 5)
+    o1 = np.lexsort(tuple(m.kmers.T[::-1]))
+    o2 = np.lexsort(tuple(m2.kmers.T[::-1]))
+    assert np.array_equal(m.kmers[o1], m2.kmers[o2])
+
+
+def test_three_word_pipeline_smoke(rng):
+    """Tiny error-free assembly at k=65 exercises A -> B -> R -> contigs
+    through the multi-word path."""
+    from elba_tpu.params import PipelineParams
+    # params accept the reference's full range
+    PipelineParams(k=95, lower_freq=2, upper_freq=8)
+    genome = random_dna(rng, 3000)
+    reads = [genome[i * 400:i * 400 + 800] for i in range(6)]
+    rs = ReadSet.from_sequences(
+        ["".join("ACGT"[c] for c in r) for r in reads])
+    m = build_kmer_matrix(rs, 65, 2, 8)
+    assert m.num_kmers > 0
+    from elba_tpu.dsparse.seedmat import build_seed_matrix
+    B = build_seed_matrix(m, min_shared=2, full=False)
+    # each adjacent pair shares a 400bp window -> candidates exist
+    assert B.nnz >= 5

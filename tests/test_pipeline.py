@@ -127,3 +127,11 @@ def test_reference_fixture_e2e(tmp_path, sample_reads):
     for line in lines[:5]:
         f = line.split("\t")
         assert len(f) == 13 and f[11] == "255" and f[4] in "+-"
+    # byte-identical to the committed golden outputs (cross-round drift pin,
+    # the role of the reference's committed ecoli.np*.txt, runtests.sh:1-24)
+    import os
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    for ext in ("overlap.paf", "string.paf", "contigs.fa"):
+        got = (tmp_path / f"elba.{ext}").read_bytes()
+        want = open(os.path.join(golden, f"readsfa.{ext}"), "rb").read()
+        assert got == want, f"golden drift in {ext}"

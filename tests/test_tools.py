@@ -104,3 +104,41 @@ def test_write_ordered_multiprocess_emulation(tmp_path):
                       process_index=pi, process_count=3)
     write_ordered(b"part0\n", path, process_index=0, process_count=3)
     assert open(path).read() == "part0\npart1\npart2\n"
+
+
+def _golden_hashes():
+    import json, os
+    p = os.path.join(os.path.dirname(__file__), "golden", "hashes.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+def _sha(path):
+    import hashlib
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def test_sim30k_outputs_match_golden(sim_run):
+    """Committed golden hashes pin the WHOLE pipeline's output across
+    rounds (the reference's runtests.sh golden-diff role): a regression
+    where single-device and distributed paths drift together is caught
+    here."""
+    prefix, _ = sim_run
+    want = _golden_hashes()["sim30k"]
+    for ext, h in want.items():
+        assert _sha(prefix + ext) == h, f"golden drift in {ext}"
+
+
+def test_sim20k_err_outputs_match_golden(tmp_path):
+    """Noisy-read fixture (1% error): exercises mismatch/indel scoring and
+    rc handling through the golden pin."""
+    prefix = str(tmp_path / "sim20k_err")
+    simulate(prefix, genome_len=20000, nreads=50, read_len=2000,
+             error=0.01, seed=11)
+    params = PipelineParams(k=17, lower_freq=2, upper_freq=12, xdrop=5,
+                            output_prefix=prefix)
+    run_pipeline(prefix + ".fa", params, log=None)
+    want = _golden_hashes()["sim20k_err"]
+    for ext, h in want.items():
+        assert _sha(prefix + ext) == h, f"golden drift in {ext}"
