@@ -94,33 +94,50 @@ def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
 
 
 def bench_spgemm():
-    """SharedSeeds SpGEMM (B = A A^T) on device: semiring products/s and
-    output nnz/s for a coverage-structured synthetic A (every k-mer with 8
-    instances, the reference's E. coli U bound)."""
+    """SharedSeeds SpGEMM (B = A A^T) pure device time: one jitted program
+    (chunked expand + sort-merge reduce, seedmat_device.py) over a
+    coverage-structured synthetic A.  Reads live in overlap windows of 16
+    so pairs repeat across k-mers like genomic data; the read-id space is
+    far beyond the old n^2 < 2^31 cap.  Inputs are uploaded once; the timed
+    region is the single device dispatch; only scalar stats come back."""
     import jax
-    from elba_tpu.dsparse.seedmat_device import build_seed_matrix_device
+    from elba_tpu.dsparse.seedmat_device import (_spgemm_device,
+                                                 upload_kmer_matrix)
     from elba_tpu.kmers.count import KmerMatrix
 
     rng = np.random.default_rng(3)
-    n_reads, n_kmers, copies = 20000, 100000, 8
+    n_reads, n_kmers, copies, win = 200_000, 400_000, 8, 16
+    nwin = n_reads // win
+    wstart = (rng.integers(0, nwin, n_kmers) * win)
     cols = np.repeat(np.arange(n_kmers), copies)
-    rows = rng.integers(0, n_reads, len(cols))
+    rows = (np.repeat(wstart, copies)
+            + rng.integers(0, win, n_kmers * copies))
     pos = rng.integers(0, 1 << 14, len(cols)).astype(np.int32)
     order = np.lexsort((pos, rows, cols))
     A = KmerMatrix(rows=rows[order].astype(np.int64),
                    cols=cols[order].astype(np.int64),
                    pos=pos[order], kmers=np.arange(n_kmers, dtype=np.uint64),
                    num_reads=n_reads, num_kmers=n_kmers)
-    res, total = build_seed_matrix_device(A)   # compile + run
-    jax.block_until_ready(res)
+
+    dev, total = upload_kmer_matrix(A)
+    chunk = 1 << 25
+    out_cap = 1 << 23
+    args = (dev["rows"], dev["pos"], dev["gcum"], dev["gstarts"],
+            dev["gcounts"], dev["total"])
+    kw = dict(chunk=chunk, out_cap=out_cap, min_shared=2, full=True)
+    res = _spgemm_device(*args, **kw)            # compile + run
+    jax.block_until_ready(res["t"])
+    stats = {k: int(v) for k, v in res["stats"].items()}
+    assert stats["overflow"] == 0, stats
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        res, total = build_seed_matrix_device(A)
-        jax.block_until_ready(res)
+        res = _spgemm_device(*args, **kw)
+        jax.block_until_ready(res["t"])          # result stays on device
         best = min(best, time.time() - t0)
-    nnz = int(np.asarray(res["head"]).sum())
+    nnz = stats["nnz"]
     return nnz / best, dict(input_nnz=A.nnz, output_nnz=nnz,
+                            distinct_pairs=stats["pairs"],
                             products=total,
                             products_per_sec=round(total / best),
                             seconds=round(best, 3))

@@ -47,6 +47,14 @@ def contig_sizes(assignments: np.ndarray, num_contigs: int):
 def generate_contigs(S: COOMatrix, readset: ReadSet) -> List[str]:
     """Single-part contig generation; returns contig sequences."""
     assignments, ncc = read_to_contigs(S)
+    return walk_contigs(S, readset, assignments, ncc)
+
+
+def walk_contigs(S: COOMatrix, readset: ReadSet, assignments: np.ndarray,
+                 ncc: int) -> List[str]:
+    """Chain walk given a read-to-contig assignment (the serial tail of
+    GenerateContigs, ContigGeneration.cpp:396-458).  Split out so the
+    distributed pipeline can feed mesh-computed CC labels."""
     used, sizes = contig_sizes(assignments, ncc)
     if len(used) == 0:
         return []

@@ -262,7 +262,8 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
             aligned=jax.lax.psum(jnp.sum(score > 0), axes),
             total_score=jax.lax.psum(
                 jnp.sum(jnp.where(score > 0, score, 0)), axes),
-            dropped=jax.lax.psum(drop1 + drop2, axes),
+            dropped_kmers=jax.lax.psum(drop1, axes),
+            dropped_pairs=jax.lax.psum(drop2, axes),
             align_truncated=jax.lax.psum(align_truncated, axes),
         )
         local = dict(q=aq, t=at, score=score, rc=res["rc"],

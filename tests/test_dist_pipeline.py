@@ -58,18 +58,29 @@ def test_distributed_overlap_matches_single_device(workload, ndev):
         assert np.array_equal(R2.vals[f], R1.vals[f]), f
 
 
-def test_distributed_pipeline_end_to_end(workload):
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+def test_distributed_pipeline_end_to_end(workload, ndev):
+    """The on-mesh graph phase (classify/prune/symmetricize/TR/CC as SPMD
+    programs, R never gathered) must be golden-equal to the host graph
+    phase for every mesh shape."""
     rs, R1 = workload
-    mesh = make_mesh2d(jax.devices()[:8])
-    Rd, Sd, contigs_d = run_distributed_pipeline(rs, PARAMS, mesh)
+    mesh = make_mesh2d(jax.devices()[:ndev])
+    Rd, Sd, contigs_d = run_distributed_pipeline(rs, PARAMS, mesh,
+                                                 on_mesh=True)
 
     Rp = prune_overlap_graph(R1, PARAMS.bad_read_cutoff)
     S1 = transitive_reduction(Rp)
     contigs_1 = generate_contigs(S1, rs)
 
+    assert np.array_equal(Rd.rows, R1.rows)
+    assert np.array_equal(Rd.cols, R1.cols)
+    for f in sorted(R1.vals):
+        assert np.array_equal(Rd.vals[f], R1.vals[f]), f
     assert Sd.nnz == S1.nnz
     assert np.array_equal(Sd.rows, S1.rows)
     assert np.array_equal(Sd.cols, S1.cols)
+    for f in sorted(S1.vals):
+        assert np.array_equal(Sd.vals[f], S1.vals[f]), f
     assert contigs_d == contigs_1
     assert len(contigs_d) >= 1
 

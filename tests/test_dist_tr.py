@@ -118,6 +118,58 @@ def test_dist_tr_join_overflow_reported(rng):
     assert int(stats2["join_overflow"]) == 0
 
 
+def test_dist_tr_random_graphs_match_single_device(rng):
+    """Random overlap graphs, several trials: the distributed marking +
+    mark symmetricization must keep exactly the host TR's edge set."""
+    mesh = make_mesh2d(jax.devices()[:8])
+    for trial in range(4):
+        n = int(rng.integers(12, 40))
+        m = int(rng.integers(n, 3 * n))
+        edges = []
+        seen = set()
+        for _ in range(m):
+            i, j = sorted(rng.integers(0, n, 2).tolist())
+            if i == j or (i, j) in seen:
+                continue
+            seen.add((i, j))
+            d = int(rng.integers(0, 4))
+            dT = int(rng.integers(0, 4))
+            edges.append((i, j, overlap_edge(int(rng.integers(50, 2000)),
+                                             int(rng.integers(50, 2000)),
+                                             d, dT)))
+        if not edges:
+            continue
+        R = mk_overlap_matrix(n, edges)
+        S = symmetricize(R)
+        expected = transitive_reduction(R)
+        expected_kept = set(zip(expected.rows.tolist(),
+                                expected.cols.tolist()))
+
+        cap = 256
+        keys, dirs, sufs = _route_blocks(S, mesh, n, cap)
+        step = build_distributed_tr_step(
+            mesh, DistTRConfig(n=n, block_cap=cap, join_cap=0,
+                               max_degree=64))
+        marks, stats = step(jnp.asarray(keys), jnp.asarray(dirs),
+                            jnp.asarray(sufs))
+        assert int(stats["join_overflow"]) == 0
+        marks = np.asarray(marks).reshape(keys.shape)
+
+        marked = set()
+        for d in range(keys.shape[0]):
+            for s in range(cap):
+                if keys[d, s] < 2**62 and marks[d, s]:
+                    i, j = divmod(int(keys[d, s]), n)
+                    marked.add((i, j))
+                    marked.add((j, i))
+        kept = set()
+        for e in range(S.nnz):
+            ij = (int(S.rows[e]), int(S.cols[e]))
+            if ij not in marked and S.vals["direction"][e] != -1:
+                kept.add(ij)
+        assert kept == expected_kept, trial
+
+
 def test_distributed_cc_matches_single_device(rng):
     import jax
     from elba_tpu.parallel.mesh import make_mesh2d

@@ -48,7 +48,7 @@ def test_distributed_step_matches_single_device(rng, ndev):
     step = build_distributed_overlap_step(mesh, cfg)
     stats, local = step(jnp.asarray(codes), jnp.asarray(lengths))
     stats = {k: int(v) for k, v in stats.items()}
-    assert stats["dropped"] == 0, stats
+    assert stats["dropped_kmers"] == 0 and stats["dropped_pairs"] == 0, stats
 
     # single-device oracle: same reliable-kmer rules and pair count
     rs = ReadSet.from_sequences(

@@ -83,32 +83,88 @@ def test_upper_only_subset(rng):
     assert upkeys == {(i, j) for (i, j) in fullkeys if i < j}
 
 
-def test_device_seedmat_matches_host(rng):
-    from elba_tpu.dsparse.seedmat_device import build_seed_matrix_device
-    k = 7
+def _compare_device_vs_host(A, host, **kw):
+    from elba_tpu.dsparse.seedmat_device import (build_seed_matrix_device,
+                                                 device_result_to_host)
+    res, total = build_seed_matrix_device(A, **kw)
+    got = device_result_to_host(res)
+    # accumulator is t-major (column-major) sorted = host canonical order
+    assert len(got["q"]) == host.nnz
+    assert np.array_equal(got["q"], host.rows)
+    assert np.array_equal(got["t"], host.cols)
+    for f in ("numshared", "seedQ0", "seedT0", "seedQ1", "seedT1"):
+        assert np.array_equal(got[f], host.vals[f]), f
+    return total
+
+
+def _motif_readset(rng, nreads=12, readlen=80):
     reads = []
     motifs = [random_dna(rng, 30) for _ in range(4)]
-    for i in range(12):
-        r = random_dna(rng, 80)
+    for i in range(nreads):
+        r = random_dna(rng, readlen)
         r[10:40] = motifs[i % 4]
         reads.append("".join("ACGT"[c] for c in r))
-    rs = ReadSet.from_sequences(reads)
-    A = build_kmer_matrix(rs, k, 2, 8)
-    host = build_seed_matrix(A, min_shared=2, full=True).mat
+    return ReadSet.from_sequences(reads)
 
-    res, total = build_seed_matrix_device(A)
-    res = {f: np.asarray(v) for f, v in res.items()}
-    sel = np.flatnonzero(res["head"])
-    # device emits column-major heads like the host canonical order
-    assert len(sel) == host.nnz
-    order = np.argsort(res["t"][sel] * A.num_reads + res["q"][sel])
-    sel = sel[order]
-    assert np.array_equal(res["q"][sel], host.rows)
-    assert np.array_equal(res["t"][sel], host.cols)
-    for df, hf in [("numshared", "numshared"), ("seedQ0", "seedQ0"),
-                   ("seedT0", "seedT0"), ("seedQ1", "seedQ1"),
-                   ("seedT1", "seedT1")]:
-        assert np.array_equal(res[df][sel], host.vals[hf]), df
+
+def test_device_seedmat_matches_host(rng):
+    rs = _motif_readset(rng)
+    A = build_kmer_matrix(rs, 7, 2, 8)
+    host = build_seed_matrix(A, min_shared=2, full=True).mat
+    _compare_device_vs_host(A, host)
+
+
+def test_device_seedmat_chunked_matches_host(rng):
+    """Chunk boundaries split k-mer groups mid-way; the order-preserving
+    accumulator merge must keep count + first/fold-last seed semantics."""
+    rs = _motif_readset(rng, nreads=16)
+    A = build_kmer_matrix(rs, 7, 2, 10)
+    host = build_seed_matrix(A, min_shared=2, full=True).mat
+    total = _compare_device_vs_host(A, host, chunk=64)
+    assert total > 64  # really exercised multiple chunks
+
+
+def test_device_seedmat_upper_only(rng):
+    rs = _motif_readset(rng)
+    A = build_kmer_matrix(rs, 7, 2, 8)
+    host = build_seed_matrix(A, min_shared=2, full=False).mat
+    _compare_device_vs_host(A, host, full=False)
+
+
+def test_device_seedmat_overflow_retry(rng):
+    """A tiny accumulator must retry with doubled capacity, not truncate."""
+    from elba_tpu.dsparse.seedmat_device import build_seed_matrix_device
+    import elba_tpu.dsparse.seedmat_device as sd
+    rs = _motif_readset(rng)
+    A = build_kmer_matrix(rs, 7, 2, 8)
+    host = build_seed_matrix(A, min_shared=2, full=True).mat
+    res, _ = build_seed_matrix_device(A, out_cap=1 << 14)
+    got = sd.device_result_to_host(res)
+    assert len(got["q"]) == host.nnz
+
+
+def test_device_seedmat_beyond_int32_keyspace(rng):
+    """Read-id space with n^2 >= 2^31 (the round-1 cap) must work: ids are
+    sorted as two int32 columns, never composed into one key."""
+    from elba_tpu.dsparse.seedmat_device import (build_seed_matrix_device,
+                                                 device_result_to_host)
+    from elba_tpu.kmers.count import KmerMatrix
+    n = 1_000_000  # n^2 = 10^12 >> 2^31
+    # 3 kmers each shared by reads spread over the full id range
+    rows = np.array([5, 999_999, 123, 777_777, 50_000,
+                     1, 999_998, 456_789], np.int64)
+    cols = np.array([0, 0, 1, 1, 1, 2, 2, 2], np.int64)
+    pos = np.arange(8, dtype=np.int32) * 10
+    order = np.lexsort((pos, rows, cols))
+    A = KmerMatrix(rows=rows[order], cols=cols[order], pos=pos[order],
+                   kmers=np.arange(3, dtype=np.uint64),
+                   num_reads=n, num_kmers=3)
+    host = build_seed_matrix(A, min_shared=2, full=True).mat
+    res, _ = build_seed_matrix_device(A)
+    got = device_result_to_host(res)
+    assert np.array_equal(got["q"], host.rows)
+    assert np.array_equal(got["t"], host.cols)
+    assert np.array_equal(got["numshared"], host.vals["numshared"])
 
 
 def test_chunked_expansion_matches_unchunked(rng):
