@@ -119,12 +119,14 @@ def bench_spgemm():
                    pos=pos[order], kmers=np.arange(n_kmers, dtype=np.uint64),
                    num_reads=n_reads, num_kmers=n_kmers)
 
-    dev, total = upload_kmer_matrix(A)
-    chunk = 1 << 25
+    # span = 2*upper-1 = 15 product slots per instance: 2M instances/chunk
+    # = ~31M-slot merge sorts, the sweet spot from the sort microbench
+    dev, total, upper, chunk_inst = upload_kmer_matrix(
+        A, chunk_inst=1 << 21)
     out_cap = 1 << 23
-    args = (dev["rows"], dev["pos"], dev["gcum"], dev["gstarts"],
-            dev["gcounts"], dev["total"])
-    kw = dict(chunk=chunk, out_cap=out_cap, min_shared=2, full=True)
+    args = (dev["rows"], dev["pos"], dev["gid"], dev["total_inst"])
+    kw = dict(chunk_inst=chunk_inst, out_cap=out_cap, min_shared=2,
+              full=True, upper=upper)
     res = _spgemm_device(*args, **kw)            # compile + run
     jax.block_until_ready(res["t"])
     stats = {k: int(v) for k, v in res["stats"].items()}

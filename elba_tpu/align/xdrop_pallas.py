@@ -51,9 +51,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 8        # items per grid step (int32 sublane tile)
+UNROLL = 8     # antidiagonals per inner while iteration (overhead amortization)
 BANDW = 128    # live-band capacity in lanes
 WWIN = 2 * BANDW
-RING = 1024    # antidiagonal ring size (columns mod RING)
+TWR = 5 * BANDW  # target register width (rolls 1 lane per antidiagonal)
 QWIN = 2048    # query columns of progress guaranteed per round
 QW = QWIN + WWIN              # query window width
 TW = QWIN + WWIN + 3 * BANDW  # target window width (drifts both ways)
@@ -65,8 +66,7 @@ DONE, PAUSED = 0, 1
  P_RESUME, P_QOFF, P_TOFF, P_TANCH, P_DELTA, P_MC0, P_XC0, P_HI3,
  P_BEST0, P_BEC0, P_BER0, P_BES0) = range(21)
 # sc (SMEM) columns
-(S_MC, S_XC, S_HI3, S_BEST, S_BEC, S_BER, S_BES, S_ACT, S_OVF, S_COLS,
- S_ROWS, S_STATUS, S_ADN, S_DELTA) = range(14)
+(S_STATUS, S_PAUSE) = range(2)
 # output columns
 (O_BES, O_BEC, O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3, O_BEST,
  O_ADN) = range(10)
@@ -77,234 +77,163 @@ def _align(x):
 
 
 def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
-            sc_ref):
-    """Register-resident band: the two live antidiagonals ride the
-    while-loop carry as [SUB, WWIN] arrays anchored at each item's aligned
-    window base; re-anchoring after a band advance is a select over three
-    static lane shifts (0/128/256), exact because shifted-in columns lie
-    beyond the source antidiagonal's creation extent (undef)."""
+            sc_ref, pack_ref):
+    """v2: two-level loop with an all-vector inner antidiagonal loop.
+
+    The v1 kernel re-sliced each item's sequence windows and updated SMEM
+    scalars EVERY antidiagonal -- 8 serial scalar sections per iteration
+    dominated the runtime.  v2 keeps every piece of per-item state as
+    [SUB, 1] vector lanes and the sequence rows in registers:
+
+    * qreg [SUB, WWIN]: query codes for columns [base, base+WWIN)
+    * treg [SUB, TWR]:  target codes pre-rolled so lane l holds the code
+      for column base+l at the current antidiagonal; advancing one
+      antidiagonal is a STATIC roll by +1 (the target index drifts by
+      exactly one per antidiagonal)
+    * band re-anchor stays the v1 select-over-static-shifts
+
+    The inner while_loop therefore runs pure vector ops.  It exits when an
+    item's band leaves its registers (base advance or treg roll budget
+    exhausted); the outer loop then refetches JUST that item's registers
+    with scalar dynamic slices (guarded per item), checks window
+    exhaustion (pause), and resumes.  Outer trips happen every ~100+
+    antidiagonals per item instead of every antidiagonal."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
-    lane1 = lane[0, :BANDW]
-    lane2 = lane[0]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
 
-    # ---- per-item init ---------------------------------------------------
-    for s in range(SUB):
-        cols = params_ref[s, P_COLS]
-        rows = params_ref[s, P_ROWS]
-        active = params_ref[s, P_ACTIVE]
-        resume = params_ref[s, P_RESUME]
+    def col(cix):
+        return params_ref[:, cix].reshape(SUB, 1)
 
-        sc_ref[s, S_DELTA] = params_ref[s, P_DELTA]
-        sc_ref[s, S_COLS] = cols
-        sc_ref[s, S_ROWS] = rows
-        sc_ref[s, S_OVF] = 0
-        sc_ref[s, S_STATUS] = DONE
+    colsv = col(P_COLS)
+    rowsv = col(P_ROWS)
+    gapv = col(P_GAP)
+    misv = col(P_MIS)
+    undefv = col(P_UNDEF)
+    initv = col(P_INIT)
+    matv = col(P_MAT)
+    dropv = col(P_DROP)
+    resv = col(P_RESUME)
 
-        @pl.when(resume == 0)
-        def _(s=s):
-            sc_ref[s, S_MC] = 1
-            sc_ref[s, S_XC] = 2
-            sc_ref[s, S_HI3] = 1
-            sc_ref[s, S_BEST] = 0
-            sc_ref[s, S_BEC] = 0
-            sc_ref[s, S_BER] = 0
-            sc_ref[s, S_BES] = 0
+    # ---- state init (fresh vs resumed), all [SUB, 1] vectors -------------
+    res = resv != 0
+    mc0 = jnp.where(res, col(P_MC0), 1)
+    xc0 = jnp.where(res, col(P_XC0), 2)
+    hi30 = jnp.where(res, col(P_HI3), 1)
+    best0 = jnp.where(res, col(P_BEST0), 0)
+    bec0 = jnp.where(res, col(P_BEC0), 0)
+    ber0 = jnp.where(res, col(P_BER0), 0)
+    bes0 = jnp.where(res, col(P_BES0), 0)
+    adn0 = col(P_DELTA) + 2
+    act0 = col(P_ACTIVE) * jnp.where(
+        (colsv > 1) & (rowsv > 1) & (mc0 < xc0), 1, 0)
+    ovf0 = jnp.zeros((SUB, 1), jnp.int32)
 
-        @pl.when(resume != 0)
-        def _(s=s):
-            sc_ref[s, S_MC] = params_ref[s, P_MC0]
-            sc_ref[s, S_XC] = params_ref[s, P_XC0]
-            sc_ref[s, S_HI3] = params_ref[s, P_HI3]
-            sc_ref[s, S_BEST] = params_ref[s, P_BEST0]
-            sc_ref[s, S_BEC] = params_ref[s, P_BEC0]
-            sc_ref[s, S_BER] = params_ref[s, P_BER0]
-            sc_ref[s, S_BES] = params_ref[s, P_BES0]
-
-        sc_ref[s, S_ACT] = active * jnp.where(
-            (cols > 1) & (rows > 1) &
-            (sc_ref[s, S_MC] < sc_ref[s, S_XC]), 1, 0)
-        sc_ref[s, S_ADN] = sc_ref[s, S_DELTA] + 2
-
-    undefv0 = params_ref[:, P_UNDEF].reshape(SUB, 1)
-    resv = params_ref[:, P_RESUME].reshape(SUB, 1)
-    initv = params_ref[:, P_INIT].reshape(SUB, 1)
     # fresh: antidiag 0 = {col0: 0}; antidiag 1 = {col0,1: init_cell};
     # resumed: the saved windows
-    fresh1 = jnp.where(lane == 0, 0, undefv0)
-    fresh2 = jnp.where(lane <= 1, initv, undefv0)
-    ad1_0 = jnp.where(resv != 0, st_in_ref[:, 0, :], fresh1)
-    ad2_0 = jnp.where(resv != 0, st_in_ref[:, 1, :], fresh2)
+    fresh1 = jnp.where(lane == 0, 0, undefv)
+    fresh2 = jnp.where(lane <= 1, initv, undefv)
+    a1_0 = jnp.where(res, st_in_ref[:, 0, :], fresh1)
+    a2_0 = jnp.where(res, st_in_ref[:, 1, :], fresh2)
 
-    def nactive():
-        n = sc_ref[0, S_ACT]
-        for s in range(1, SUB):
-            n = n + sc_ref[s, S_ACT]
-        return n
+    for s in range(SUB):
+        sc_ref[s, S_STATUS] = DONE
+        sc_ref[s, S_PAUSE] = 0
 
-    def body(carry):
-        ad_no, _, a1, a2 = carry
+    qreg0 = jnp.zeros((SUB, WWIN), jnp.int32)
+    treg0 = jnp.zeros((SUB, TWR), jnp.int32)
+    zc = jnp.zeros((SUB, 1), jnp.int32)
 
-        # ---- pause scan: stop items whose band leaves the seq windows ----
-        for s in range(SUB):
-            @pl.when(sc_ref[s, S_ACT] > 0)
-            def _(s=s):
-                adn = ad_no + sc_ref[s, S_DELTA]
-                base = _align(sc_ref[s, S_MC] - 1)
-                qoff = params_ref[s, P_QOFF]
-                toff = params_ref[s, P_TOFF]
-                tanch = params_ref[s, P_TANCH]
-                tb = _align(tanch - adn + 1 + base)
-                pause = (base + WWIN > qoff + QW) | (tb < toff) | \
-                    (tb + 3 * BANDW > toff + TW)
+    def inner_cond(cy):
+        act, needf = cy[8], cy[12]
+        return (jnp.sum(act) > 0) & (jnp.sum(needf) == 0)
 
-                @pl.when(pause)
-                def _(s=s, adn=adn):
-                    sc_ref[s, S_STATUS] = PAUSED
-                    sc_ref[s, S_ACT] = 0
-                    sc_ref[s, S_ADN] = adn
+    def inner_body(cy):
+        """UNROLL antidiagonals per while iteration: an empty Mosaic
+        while iteration costs ~0.9us on v5e (measured), so the loop
+        overhead is amortized across several antidiagonal sub-steps.
+        Items that finish / need a register refetch mid-group freeze via
+        the gate (delta events are ~1 in 128 antidiagonals, so the
+        wasted frozen slots are a few percent)."""
+        for _ in range(UNROLL):
+            cy = _substep(cy)
+        return cy
 
-        # ---- per-item sequence windows (band lives in registers) ---------
-        rows_q = []
-        rows_t = []
-        basev, l3v, mcv, xcv, hi2v, adnv, actv = [], [], [], [], [], [], []
-        for s in range(SUB):
-            act = sc_ref[s, S_ACT]
-            adn = ad_no + sc_ref[s, S_DELTA]
-            mc = jnp.where(act > 0, sc_ref[s, S_MC], 1)
-            xc = jnp.where(act > 0, sc_ref[s, S_XC], 2)
-            l3 = mc - 1
-            base = pl.multiple_of(_align(l3), BANDW)
-
-            qoff = jnp.where(act > 0, params_ref[s, P_QOFF], 0)
-            qs_start = pl.multiple_of(
-                jnp.clip(base - qoff, 0, QW - WWIN), BANDW)
-            rows_q.append(qw_ref[s, pl.ds(qs_start, WWIN)])
-
-            tanch = params_ref[s, P_TANCH]
-            toff = jnp.where(act > 0, params_ref[s, P_TOFF], 0)
-            jcb = tanch - adn + 1 + base
-            tb = _align(jcb)
-            offt = jcb - tb
-            ts_start = pl.multiple_of(
-                jnp.clip(tb - toff, 0, TW - 3 * BANDW), BANDW)
-            t3 = tw_ref[s, pl.ds(ts_start, 3 * BANDW)].astype(jnp.int32)
-            trow = pltpu.roll(t3.reshape(1, 3 * BANDW),
-                              3 * BANDW - offt, 1)[0, :WWIN]
-            rows_t.append(trow)
-
-            basev.append(base)
-            l3v.append(l3)
-            mcv.append(mc)
-            xcv.append(xc)
-            hi2v.append(sc_ref[s, S_HI3])
-            adnv.append(adn)
-            actv.append(act)
-
-        qv = jnp.stack(rows_q)
-        tv = jnp.stack(rows_t)
-        basec = jnp.stack(basev).reshape(SUB, 1)
-        l3c = jnp.stack(l3v).reshape(SUB, 1)
-        mc = jnp.stack(mcv).reshape(SUB, 1)
-        xc = jnp.stack(xcv).reshape(SUB, 1)
-        hi2 = jnp.stack(hi2v).reshape(SUB, 1)
-        adnc = jnp.stack(adnv).reshape(SUB, 1)
-        actc = jnp.stack(actv).reshape(SUB, 1)
+    def _substep(cy):
+        (adn, mc, xc, hi3, best, bec, ber, bes, act, ovf, offt5, base,
+         needf, a1, a2, qreg, treg) = cy
+        actb = (act > 0) & (needf == 0)
+        l3 = mc - 1
+        c = base + lane
+        inner_m = (c >= mc) & (c < xc)
 
         # +-1 column offsets as a static lane roll (lane 0 wraps: col
         # base-1 is never live because min_col-1 >= base)
         a2m1 = pltpu.roll(a2, 1, 1)
         a1m1 = pltpu.roll(a1, 1, 1)
+        trow = treg[:, :WWIN]
 
-        gapv = params_ref[:, P_GAP].reshape(SUB, 1)
-        misv = params_ref[:, P_MIS].reshape(SUB, 1)
-        undefv = params_ref[:, P_UNDEF].reshape(SUB, 1)
-        matv = params_ref[:, P_MAT].reshape(SUB, 1)
-        bestv = jnp.stack(
-            [sc_ref[s, S_BEST] for s in range(SUB)]).reshape(SUB, 1)
-        dropv = params_ref[:, P_DROP].reshape(SUB, 1)
-
-        c = basec + lane
-        inner = (c >= mc) & (c < xc)
-
-        sub = jnp.where(qv == tv, matv, misv)
+        sub = jnp.where(qreg == trow, matv, misv)
         temp = jnp.maximum(jnp.maximum(a2m1, a2) + gapv, a1m1 + sub)
-        live = temp >= bestv - dropv
-        cell = jnp.where(live & inner, temp, undefv)
+        live = temp >= best - dropv
+        cell = jnp.where(live & inner_m, temp, undefv)
 
-        gval = adnc * gapv
-        bcond = gval > bestv - dropv
-        b0 = jnp.where(bcond & (l3c == 0), gval, undefv)
-        b1 = jnp.where(bcond & (adnc == xc), gval, undefv)
-        ad3 = jnp.where(c == l3c, b0, cell)
+        gval = adn * gapv
+        bcond = gval > best - dropv
+        b0 = jnp.where(bcond & (l3 == 0), gval, undefv)
+        b1 = jnp.where(bcond & (adn == xc), gval, undefv)
+        ad3 = jnp.where(c == l3, b0, cell)
         ad3 = jnp.where(c == xc, b1, ad3)
 
         ad_best = jnp.maximum(
-            gval.reshape(SUB),
-            jnp.max(jnp.where(inner & live, temp, NEG_BIG), axis=1))
+            gval,
+            jnp.max(jnp.where(inner_m & live, temp, NEG_BIG), axis=1,
+                    keepdims=True))
 
         # best-extension update: LAST column in scan order whose score
         # beats the previous global best (reference quirk, :132-138)
-        upd = inner & (temp > bestv)
-        lastc = jnp.max(jnp.where(upd, c, -1), axis=1)
-        last_temp = jnp.max(
-            jnp.where(upd & (c == lastc.reshape(SUB, 1)), temp, NEG_BIG),
-            axis=1)
+        upd = inner_m & (temp > best)
+        lastc = jnp.max(jnp.where(upd, c, -1), axis=1, keepdims=True)
+        last_temp = jnp.max(jnp.where(upd & (c == lastc), temp, NEG_BIG),
+                            axis=1, keepdims=True)
 
         # ---- band scans (advance / retract), reference :143-155 ----------
         keep = (c <= xc) & (ad3 == undefv) & \
-            (c - 1 <= hi2) & (a2m1 == undefv)
+            (c - 1 <= hi3) & (a2m1 == undefv)
         stop = (~keep) & (c >= mc)
-        first_stop = jnp.min(jnp.where(stop, c, 2**30), axis=1)
+        first_stop = jnp.min(jnp.where(stop, c, 2**30), axis=1,
+                             keepdims=True)
 
-        okd = (c >= l3c) & (c <= xc - 1) & \
+        okd = (c >= l3) & (c <= xc - 1) & \
             ((ad3 != undefv) | (a2 != undefv))
-        dmax = jnp.max(jnp.where(okd, c, l3c - 1), axis=1)
+        dmax = jnp.max(jnp.where(okd, c, l3 - 1), axis=1, keepdims=True)
+        ovf_now = jnp.where(xc - l3 + 1 > BANDW, 1, 0)
 
-        # int32 (not bool): Mosaic cannot squeeze bool vectors to scalars
-        ovf_now = jnp.where(xc - l3c + 1 > BANDW, 1, 0).reshape(SUB)
-
-        # ---- scalar write back -------------------------------------------
-        for s in range(SUB):
-            act = sc_ref[s, S_ACT]
-
-            @pl.when(act > 0)
-            def _(s=s):
-                adn = adnv[s]
-                sc_ref[s, S_HI3] = sc_ref[s, S_XC]
-                hit = lastc[s] >= 0
-                sc_ref[s, S_BEC] = jnp.where(hit, lastc[s], sc_ref[s, S_BEC])
-                sc_ref[s, S_BER] = jnp.where(
-                    hit, adn - lastc[s], sc_ref[s, S_BER])
-                sc_ref[s, S_BES] = jnp.where(
-                    hit, last_temp[s], sc_ref[s, S_BES])
-                sc_ref[s, S_BEST] = jnp.maximum(
-                    sc_ref[s, S_BEST], ad_best[s])
-                new_min0 = jnp.minimum(first_stop[s], sc_ref[s, S_HI3] + 1)
-                new_min0 = jnp.maximum(new_min0, sc_ref[s, S_MC])
-                new_max0 = jnp.maximum(dmax[s] + 1, l3v[s]) + 1
-                new_min = jnp.maximum(new_min0,
-                                      adn + 2 - sc_ref[s, S_ROWS])
-                new_max = jnp.minimum(new_max0, sc_ref[s, S_COLS])
-                sc_ref[s, S_MC] = new_min
-                sc_ref[s, S_XC] = new_max
-                ov = sc_ref[s, S_OVF] | ovf_now[s]
-                sc_ref[s, S_OVF] = ov
-                sc_ref[s, S_ACT] = jnp.where(
-                    (new_min < new_max) & (ov == 0), 1, 0)
-                sc_ref[s, S_ADN] = adn + 1
+        # ---- state update (vector selects replace v1's scalar section) ---
+        hit = actb & (lastc >= 0)
+        bec_n = jnp.where(hit, lastc, bec)
+        ber_n = jnp.where(hit, adn - lastc, ber)
+        bes_n = jnp.where(hit, last_temp, bes)
+        best_n = jnp.where(actb, jnp.maximum(best, ad_best), best)
+        hi3_n = jnp.where(actb, xc, hi3)
+        new_min0 = jnp.maximum(jnp.minimum(first_stop, xc + 1), mc)
+        new_max0 = jnp.maximum(dmax + 1, l3) + 1
+        new_min = jnp.maximum(new_min0, adn + 2 - rowsv)
+        new_max = jnp.minimum(new_max0, colsv)
+        mc_n = jnp.where(actb, new_min, mc)
+        xc_n = jnp.where(actb, new_max, xc)
+        ovf_n = jnp.where(actb, ovf | ovf_now, ovf)
+        act_n = jnp.where(
+            actb, jnp.where((new_min < new_max) & (ovf_n == 0), 1, 0), act)
+        adn_n = jnp.where(actb, adn + 1, adn)
 
         # ---- re-anchor the register band to the next window base ---------
         # delta = base_next - base in {0, 128, 256} (min_col can advance at
         # most to hi3+1 <= base+256+1)
-        nb = []
-        for s in range(SUB):
-            nb.append(_align(sc_ref[s, S_MC] - 1))
-        nbase = jnp.stack(nb).reshape(SUB, 1)
-        delta = nbase - basec
+        nbase = (mc_n - 1) // BANDW * BANDW
+        delta = jnp.where(actb, nbase - base, 0)
 
         def shift(x, d):
-            if d == 0:
-                return x
             rolled = pltpu.roll(x, WWIN - d, 1)
             return jnp.where(lane < WWIN - d, rolled, undefv)
 
@@ -313,30 +242,118 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             return jnp.where(delta == 256, shift(x, 256), out)
 
         # frozen (inactive/paused) items keep their windows for state_out
-        a1n = jnp.where(actc > 0, reanchor(a2), a1)
-        a2n = jnp.where(actc > 0, reanchor(ad3), a2)
+        a1_n = jnp.where(actb, reanchor(a2), a1)
+        a2_n = jnp.where(actb, reanchor(ad3), a2)
+        base_n = jnp.where(actb, nbase, base)
+        treg_n = jnp.where(actb, pltpu.roll(treg, 1, 1), treg)
+        offt5_n = jnp.where(actb, offt5 - 1, offt5)
 
-        return (ad_no + 1, nactive(), a1n, a2n)
+        # exit to the outer loop when a still-active item's registers no
+        # longer cover its band (query base advanced / target roll budget
+        # exhausted); items frozen earlier in the unroll group keep their
+        # pending flag
+        needf_n = jnp.where(
+            actb,
+            jnp.where((act_n > 0) & ((delta != 0) | (offt5_n <= 0)), 1, 0),
+            needf)
 
-    _, _, a1f, a2f = jax.lax.while_loop(
-        lambda cy: cy[1] > 0, body,
-        (jnp.int32(2), nactive(), ad1_0, ad2_0))
+        return (adn_n, mc_n, xc_n, hi3_n, best_n, bec_n, ber_n, bes_n,
+                act_n, ovf_n, offt5_n, base_n, needf_n, a1_n, a2_n,
+                qreg, treg_n)
+
+    def outer_cond(cy):
+        return jnp.sum(cy[8]) > 0
+
+    def outer_body(cy):
+        (adn, mc, xc, hi3, best, bec, ber, bes, act, ovf, offt5, base,
+         needf, a1, a2, qreg, treg) = cy
+
+        # vector state -> scalars via a VMEM bounce (scalar VMEM stores are
+        # illegal in Mosaic; scalar loads are fine)
+        pk = jnp.where(lane128 == 0, mc, 0)
+        pk = jnp.where(lane128 == 1, adn, pk)
+        pk = jnp.where(lane128 == 2, act, pk)
+        pk = jnp.where(lane128 == 3, needf, pk)
+        pack_ref[:, :] = pk
+
+        # ---- per-item refetch (only items whose flag is set) -------------
+        for s in range(SUB):
+            mc_s = pack_ref[s, 0]
+            adn_s = pack_ref[s, 1]
+            fetch = (pack_ref[s, 2] > 0) & (pack_ref[s, 3] > 0)
+            base_s = _align(mc_s - 1)
+            qoff_s = params_ref[s, P_QOFF]
+            toff_s = params_ref[s, P_TOFF]
+            tanch_s = params_ref[s, P_TANCH]
+            qs = base_s - qoff_s
+            jcb = tanch_s - adn_s + 1 + base_s
+            tb5 = _align(jcb) - 2 * BANDW
+            ts5 = tb5 - toff_s
+            pause = (qs < 0) | (qs > QW - WWIN) | (ts5 < 0) | \
+                (ts5 > TW - TWR)
+
+            @pl.when(fetch & pause)
+            def _(s=s):
+                sc_ref[s, S_STATUS] = PAUSED
+                sc_ref[s, S_PAUSE] = 1
+
+            qs_c = pl.multiple_of(jnp.clip(qs, 0, QW - WWIN), BANDW)
+            ts_c = pl.multiple_of(jnp.clip(ts5, 0, TW - TWR), BANDW)
+            qrow = qw_ref[s, pl.ds(qs_c, WWIN)].astype(
+                jnp.int32).reshape(1, WWIN)
+            t5 = tw_ref[s, pl.ds(ts_c, TWR)].astype(
+                jnp.int32).reshape(1, TWR)
+            # pre-roll so lane l holds the target code for column base+l
+            # at antidiagonal adn; one antidiagonal = one static +1 roll
+            offt5_s = jcb - (toff_s + ts_c)
+            t5r = pltpu.roll(t5, TWR - offt5_s, 1)
+
+            do = fetch & (~pause)
+            m = (rown == s) & do
+            qreg = jnp.where(m, qrow, qreg)
+            treg = jnp.where(m, t5r, treg)
+            base = jnp.where(m, base_s, base)
+            offt5 = jnp.where(m, offt5_s, offt5)
+            needf = jnp.where(m, 0, needf)
+
+        # fold pause flags back into the vector state
+        pv = zc
+        for s in range(SUB):
+            pv = jnp.where(rown == s, sc_ref[s, S_PAUSE], pv)
+        act = jnp.where(pv > 0, 0, act)
+        needf = jnp.where(pv > 0, 0, needf)
+        for s in range(SUB):
+            sc_ref[s, S_PAUSE] = 0
+
+        return jax.lax.while_loop(
+            inner_cond, inner_body,
+            (adn, mc, xc, hi3, best, bec, ber, bes, act, ovf, offt5,
+             base, needf, a1, a2, qreg, treg))
+
+    final = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (adn0, mc0, xc0, hi30, best0, bec0, ber0, bes0, act0, ovf0,
+         zc, zc, act0, a1_0, a2_0, qreg0, treg0))
+    (adn_f, mc_f, xc_f, hi3_f, best_f, bec_f, ber_f, bes_f, _, ovf_f,
+     _, _, _, a1_f, a2_f, _, _) = final
 
     # ---- emit outputs + continuation state --------------------------------
-    st_out_ref[:, 0, :] = a1f
-    st_out_ref[:, 1, :] = a2f
+    st_out_ref[:, 0, :] = a1_f
+    st_out_ref[:, 1, :] = a2_f
+    status = zc
     for s in range(SUB):
-        v = jnp.where(lane1 == O_BES, sc_ref[s, S_BES], 0)
-        v = jnp.where(lane1 == O_BEC, sc_ref[s, S_BEC], v)
-        v = jnp.where(lane1 == O_BER, sc_ref[s, S_BER], v)
-        v = jnp.where(lane1 == O_OVF, sc_ref[s, S_OVF], v)
-        v = jnp.where(lane1 == O_STATUS, sc_ref[s, S_STATUS], v)
-        v = jnp.where(lane1 == O_MC, sc_ref[s, S_MC], v)
-        v = jnp.where(lane1 == O_XC, sc_ref[s, S_XC], v)
-        v = jnp.where(lane1 == O_HI3, sc_ref[s, S_HI3], v)
-        v = jnp.where(lane1 == O_BEST, sc_ref[s, S_BEST], v)
-        v = jnp.where(lane1 == O_ADN, sc_ref[s, S_ADN], v)
-        out_ref[s, :] = v
+        status = jnp.where(rown == s, sc_ref[s, S_STATUS], status)
+    v = jnp.where(lane128 == O_BES, bes_f, 0)
+    v = jnp.where(lane128 == O_BEC, bec_f, v)
+    v = jnp.where(lane128 == O_BER, ber_f, v)
+    v = jnp.where(lane128 == O_OVF, ovf_f, v)
+    v = jnp.where(lane128 == O_STATUS, status, v)
+    v = jnp.where(lane128 == O_MC, mc_f, v)
+    v = jnp.where(lane128 == O_XC, xc_f, v)
+    v = jnp.where(lane128 == O_HI3, hi3_f, v)
+    v = jnp.where(lane128 == O_BEST, best_f, v)
+    v = jnp.where(lane128 == O_ADN, adn_f, v)
+    out_ref[:, :] = v
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -368,6 +385,7 @@ def _extend_rounds_x32(params, qw, tw, st_in, interpret: bool = False):
         ),
         scratch_shapes=[
             pltpu.SMEM((SUB, 16), jnp.int32),
+            pltpu.VMEM((SUB, 128), jnp.int32),
         ],
         interpret=interpret,
     )(params, qw, tw, st_in)

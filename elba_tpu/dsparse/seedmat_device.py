@@ -1,26 +1,36 @@
 """Device-resident SharedSeeds SpGEMM (B = A A^T), chunked.
 
 The whole multiply runs as ONE jitted XLA program: a while_loop walks the
-global product index space in fixed-size chunks, expands each chunk's
-semiring products (segment cross products within k-mer groups), and merges
-them into a sorted fixed-capacity accumulator under the SharedSeeds add
-(count sum, first seed, fold-last seed) -- the TPU equivalent of the
-reference's streaming CombBLAS SpGEMM (Mult_AnXBn_DoubleBuff,
-SharedSeeds.cpp:4-10) with MAX_ALLTOALL_MEM-style memory bounding
-(KmerOps.hpp:10-12).
+instance array in fixed-size chunks, expands each chunk's semiring
+products, and merges them into a sorted fixed-capacity accumulator under
+the SharedSeeds add (count sum, first seed, fold-last seed) -- the TPU
+equivalent of the reference's streaming CombBLAS SpGEMM
+(Mult_AnXBn_DoubleBuff, SharedSeeds.cpp:4-10) with MAX_ALLTOALL_MEM-style
+memory bounding (KmerOps.hpp:10-12).
 
-Design points:
-* no key-width cap: pairs are (q, t) int32 columns sorted with two stable
-  passes (t-major = the canonical column-major order), so any read count
-  < 2^31 works -- the round-1 n^2 < 2^31 composite-key cap is gone
+TPU-shaped design (informed by on-chip microbenchmarks; see git history):
+
+* products are enumerated by OFFSET within the k-mer-sorted instance
+  array: partner o of instance i is simply instance i+o of the same group,
+  so the expansion is static shifted slices -- ZERO gathers and no
+  searchsorted (a 33M-element searchsorted costs ~6s on v5e; a gather
+  ~0.5s; a shifted slice is free)
+* the (q, t) pair key is sorted as two int32 columns with ONE variadic
+  2-key stable sort (jax.lax.sort carries payloads through the sort
+  network at ~0.06s per payload per 33M, vs ~0.5s per post-argsort
+  gather), so any read count < 2^31 works -- no composite-key cap
+* seed payloads are packed two-positions-per-int32 (positions < 2^15;
+  longer reads use the host path)
+* compaction back into the fixed accumulator is another stable sort by
+  the dead flag (cheaper than multi-array scatter)
 * chunk boundaries may split k-mer groups: the accumulator merge is
   order-preserving (buffer entries precede chunk entries under stable
   sort), so the first/fold-last seed semantics survive splitting
-* fixed shapes end to end: products per chunk and accumulator capacity are
-  static; overflowing the accumulator is counted and reported, never
-  silent; callers retry with a bigger capacity
-* all state stays in HBM; the only host traffic is the initial upload and
-  the final stats scalars / compacted result fetch
+* overflowing the accumulator is counted and reported, never silent;
+  callers retry with doubled capacity
+
+All state stays in HBM; the only host traffic is the one-time upload and
+the final stats scalars / compacted result fetch.
 """
 
 from __future__ import annotations
@@ -34,109 +44,123 @@ import numpy as np
 from ..kmers.count import KmerMatrix
 
 SENT = np.int32(2**31 - 1)  # sentinel (q, t) for empty slots; sorts last
+PACK = 15                   # position packing: s = (pq << PACK) | pt
 
 
-def _sort_by_pair(t, q, payloads):
-    """Stable sort by (t, q): column-major canonical order without a wide
-    composite key (two stable int32 passes)."""
-    o = jnp.argsort(q, stable=True)
-    t, q = t[o], q[o]
-    payloads = [p[o] for p in payloads]
-    o = jnp.argsort(t, stable=True)
-    return t[o], q[o], [p[o] for p in payloads]
-
-
-def _reduce_sorted(t, q, w, s0q, s0t, s1q, s1t):
+def _reduce_sorted(t, q, w, s0, s1):
     """SharedSeeds add over a (t, q)-sorted run: per group, summed count,
     first element's first seed, last element's last seed.  Returns
-    (head mask, reduced values aligned at head positions)."""
+    (head mask, per-position reduced values)."""
     n = t.shape[0]
     bound = jnp.concatenate(
         [jnp.ones(1, bool), (t[1:] != t[:-1]) | (q[1:] != q[:-1])])
     gid = jnp.cumsum(bound.astype(jnp.int32)) - 1
     wsum = jax.ops.segment_sum(w, gid, num_segments=n)[gid]
     tail = jnp.concatenate([bound[1:], jnp.ones(1, bool)])
-    l1q = jax.ops.segment_max(
-        jnp.where(tail, s1q, -1), gid, num_segments=n)[gid]
-    l1t = jax.ops.segment_max(
-        jnp.where(tail, s1t, -1), gid, num_segments=n)[gid]
+    # only the tail position is non-(-1), so segment_max returns the tail
+    # element's own s1 (packing does not affect this selection)
+    l1 = jax.ops.segment_max(
+        jnp.where(tail, s1, -1), gid, num_segments=n)[gid]
     head = bound & (t != SENT)
-    return head, wsum, s0q, s0t, l1q, l1t
+    return head, wsum, s0, l1
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "out_cap", "min_shared", "full"))
-def _spgemm_device(rows, pos, gcum, gstarts, gcounts, total,
-                   chunk: int, out_cap: int, min_shared: int, full: bool):
+    static_argnames=("chunk_inst", "out_cap", "min_shared", "full",
+                     "upper"))
+def _spgemm_device(rows, pos, gid, total_inst,
+                   chunk_inst: int, out_cap: int, min_shared: int,
+                   full: bool, upper: int):
     """The full chunked multiply as one XLA program.
 
-    rows/pos: int32[nnz_pad] instance arrays sorted by k-mer group
-    gcum:     int64[K_pad] cumulative c^2 per group (padded with repeats)
-    gstarts/gcounts: int32[K_pad] group extents
-    total:    int64 scalar, true number of products
+    rows/pos: int32[pad] instance arrays sorted by k-mer group, with a
+              `upper`-slot halo of sentinel group ids on BOTH sides
+    gid:      int32[pad] group id per instance (halo slots get distinct
+              negative ids so no halo pair ever matches)
+    total_inst: int32 scalar, true instance count
 
     Returns dict of accumulator arrays (t-major sorted, SENT-padded) and
-    stats (nnz at min_shared, overflow count, products done).
+    stats (nnz at min_shared, distinct pairs, overflow count).
     """
-    C = chunk
+    CI = chunk_inst
+    U = upper
+    offsets = (list(range(-(U - 1), U)) if full
+               else list(range(1, U)))
+    span = len(offsets)
 
     def empty_state():
         z = lambda fill: jnp.full((out_cap,), fill, jnp.int32)
-        return (z(SENT), z(SENT), z(0), z(-1), z(-1), z(-1), z(-1),
-                jnp.int64(0))  # t, q, w, s0q, s0t, s1q, s1t, overflow
+        return (z(SENT), z(SENT), z(0), z(-1), z(-1),
+                jnp.int64(0))  # t, q, w, s0, s1, overflow
 
     def chunk_step(i, state):
-        bt, bq, bw, bs0q, bs0t, bs1q, bs1t, ovf = state
-        off = i.astype(jnp.int64) * C
-        tg = off + jnp.arange(C, dtype=jnp.int64)
-        grp = jnp.searchsorted(gcum, tg, side="right")
-        grp = jnp.minimum(grp, gcum.shape[0] - 1).astype(jnp.int32)
-        c = jnp.maximum(gcounts[grp], 1)
-        base = gcum[grp] - c.astype(jnp.int64) ** 2
-        local = (tg - base).astype(jnp.int32)
-        a = local // c
-        b = local % c
-        li = gstarts[grp] + a
-        ri = gstarts[grp] + b
-        qi = rows[li]
-        ti = rows[ri]
-        pq = pos[li]
-        pt = pos[ri]
-        valid = tg < total
-        if not full:
-            valid = valid & (qi < ti)
-        qi = jnp.where(valid, qi, SENT)
-        ti = jnp.where(valid, ti, SENT)
+        bt, bq, bw, bs0, bs1, ovf = state
+        i0 = i * CI  # window start in the padded array (halo offset U-1)
+        rw = jax.lax.dynamic_slice(rows, (i0,), (CI + 2 * U,))
+        pw = jax.lax.dynamic_slice(pos, (i0,), (CI + 2 * U,))
+        gw = jax.lax.dynamic_slice(gid, (i0,), (CI + 2 * U,))
+        # center = slots [U-1, U-1+CI): instance a of each product
+        ca = U - 1
+        qi = rw[ca:ca + CI]
+        pq = pw[ca:ca + CI]
+        ga = gw[ca:ca + CI]
+        glob = i0 + jnp.arange(CI, dtype=jnp.int32)
+        in_range = glob < total_inst
+
+        tcols, scols, vcols = [], [], []
+        for o in offsets:
+            tj = rw[ca + o:ca + o + CI]
+            pt = pw[ca + o:ca + o + CI]
+            same = gw[ca + o:ca + o + CI] == ga
+            ok = same & in_range
+            if not full:
+                ok = ok & (qi < tj)
+            tcols.append(jnp.where(ok, tj, SENT))
+            scols.append((pq << PACK) | pt)
+            vcols.append(ok)
+        # [CI, span] i-major layout = the host's (kmer, a, b) canonical
+        # product order, preserved by the stable merges below
+        ct = jnp.stack(tcols, axis=1).reshape(-1)
+        cs = jnp.stack(scols, axis=1).reshape(-1)
+        cv = jnp.stack(vcols, axis=1).reshape(-1)
+        cq = jnp.where(cv, jnp.repeat(qi, span), SENT)
+        cw = cv.astype(jnp.int32)
 
         # merge raw products into the sorted accumulator: buffer entries
         # come FIRST in the concat so the stable sort preserves the
         # canonical merge order (earlier products before later ones)
-        mt = jnp.concatenate([bt, ti])
-        mq = jnp.concatenate([bq, qi])
-        mw = jnp.concatenate([bw, jnp.where(valid, 1, 0).astype(jnp.int32)])
-        m0q = jnp.concatenate([bs0q, pq])
-        m0t = jnp.concatenate([bs0t, pt])
-        m1q = jnp.concatenate([bs1q, pq])
-        m1t = jnp.concatenate([bs1t, pt])
+        mt = jnp.concatenate([bt, ct])
+        mq = jnp.concatenate([bq, cq])
+        mw = jnp.concatenate([bw, cw])
+        m0 = jnp.concatenate([bs0, cs])
+        m1 = jnp.concatenate([bs1, cs])
+        mt, mq, mw, m0, m1 = jax.lax.sort(
+            (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
 
-        mt, mq, (mw, m0q, m0t, m1q, m1t) = _sort_by_pair(
-            mt, mq, [mw, m0q, m0t, m1q, m1t])
-        head, wsum, s0q, s0t, s1q, s1t = _reduce_sorted(
-            mt, mq, mw, m0q, m0t, m1q, m1t)
+        head, wsum, s0, s1 = _reduce_sorted(mt, mq, mw, m0, m1)
 
-        # scatter-compact the group heads back into the accumulator
-        idx = jnp.cumsum(head.astype(jnp.int32)) - 1
-        dst = jnp.where(head & (idx < out_cap), idx, out_cap)
-        def put(src, fill):
-            buf = jnp.full((out_cap,), fill, jnp.int32)
-            return buf.at[dst].set(src, mode="drop")
-        new = (put(mt, SENT), put(mq, SENT), put(wsum, 0),
-               put(s0q, -1), put(s0t, -1), put(s1q, -1), put(s1t, -1))
-        ovf = ovf + jnp.sum(head & (idx >= out_cap)).astype(jnp.int64)
+        # compact the group heads back into the accumulator: stable sort
+        # by deadness keeps heads in key order (cheaper than 5 scatters)
+        dead = (~head).astype(jnp.int32)
+        _, nt, nq, nw, n0, n1 = jax.lax.sort(
+            (dead, mt, mq, wsum, s0, s1), num_keys=1, is_stable=True)
+        nheads = jnp.sum(head).astype(jnp.int64)
+        ovf = ovf + jnp.maximum(nheads - out_cap, 0)
+        new = (nt[:out_cap], nq[:out_cap], nw[:out_cap],
+               n0[:out_cap], n1[:out_cap])
+        # slots past the head count are stale survivors of the sort; mark
+        # them empty again
+        slot = jnp.arange(out_cap, dtype=jnp.int64)
+        alive = slot < nheads
+        new = (jnp.where(alive, new[0], SENT),
+               jnp.where(alive, new[1], SENT),
+               jnp.where(alive, new[2], 0),
+               jnp.where(alive, new[3], -1),
+               jnp.where(alive, new[4], -1))
         return new + (ovf,)
 
-    nchunks = ((total + C - 1) // C).astype(jnp.int64)
+    nchunks = (total_inst + CI - 1) // CI
 
     def cond(carry):
         return carry[0] < nchunks
@@ -145,12 +169,12 @@ def _spgemm_device(rows, pos, gcum, gstarts, gcounts, total,
         i, state = carry
         return i + 1, chunk_step(i, state)
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.int64(0), empty_state()))
-    bt, bq, bw, bs0q, bs0t, bs1q, bs1t, ovf = state
+    _, state = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), empty_state()))
+    bt, bq, bw, bs0, bs1, ovf = state
     nnz = jnp.sum((bt != SENT) & (bw >= min_shared))
     npairs = jnp.sum(bt != SENT)
-    return dict(t=bt, q=bq, numshared=bw, seedQ0=bs0q, seedT0=bs0t,
-                seedQ1=bs1q, seedT1=bs1t,
+    return dict(t=bt, q=bq, numshared=bw, s0=bs0, s1=bs1,
                 stats=dict(nnz=nnz, pairs=npairs, overflow=ovf))
 
 
@@ -158,54 +182,58 @@ def _pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
 
-def upload_kmer_matrix(A: KmerMatrix):
-    """One-time host->device upload of the instance arrays and group
-    extents (padded to power-of-two shapes so repeated calls share one
-    compiled program)."""
+def upload_kmer_matrix(A: KmerMatrix, upper: int = 0,
+                       chunk_inst: int = 1 << 22):
+    """One-time host->device upload of the instance arrays with group ids
+    and halo padding (padded to power-of-two shapes so repeated calls
+    share one compiled program).  Returns (device dict, total products,
+    inferred upper bound, chunk size)."""
     assert A.num_reads < 2**31, "int32 read ids"
     counts = np.bincount(A.cols, minlength=A.num_kmers).astype(np.int64)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    sizes = counts * counts
-    gcum = np.cumsum(sizes)
-    total = int(gcum[-1]) if len(gcum) else 0
+    total = int((counts * counts).sum())
+    if upper == 0:
+        upper = int(counts.max()) if len(counts) else 1
+    assert upper <= 256, "device path supports upper_freq <= 256"
+    if A.nnz:
+        assert int(A.pos.max()) < (1 << PACK), \
+            "positions >= 2^15: use the host path (build_seed_matrix)"
 
-    npad = _pow2(max(A.nnz, 8))
-    kpad = _pow2(max(A.num_kmers, 8))
+    chunk_inst = min(chunk_inst, _pow2(max(A.nnz, 1 << 10)))
+    nchunks = max(-(-A.nnz // chunk_inst), 1)
+    # every chunk's [i*CI, i*CI + CI + 2*upper) window must stay in bounds
+    npad = _pow2(nchunks * chunk_inst + 2 * upper)
     rows = np.zeros(npad, np.int32)
     pos = np.zeros(npad, np.int32)
-    rows[:A.nnz] = A.rows
-    pos[:A.nnz] = A.pos
-    gcum_p = np.full(kpad, total, np.int64)
-    gstarts_p = np.zeros(kpad, np.int32)
-    gcounts_p = np.zeros(kpad, np.int32)
-    gcum_p[:A.num_kmers] = gcum
-    gstarts_p[:A.num_kmers] = starts
-    gcounts_p[:A.num_kmers] = counts
-
+    # halo group ids are distinct negatives: no halo pair ever matches
+    gid = -np.arange(2, npad + 2, dtype=np.int64).astype(np.int32)
+    off = upper - 1
+    rows[off:off + A.nnz] = A.rows
+    pos[off:off + A.nnz] = A.pos
+    # group id of each instance = its kmer rank
+    gid[off:off + A.nnz] = A.cols
     dev = dict(rows=jnp.asarray(rows), pos=jnp.asarray(pos),
-               gcum=jnp.asarray(gcum_p), gstarts=jnp.asarray(gstarts_p),
-               gcounts=jnp.asarray(gcounts_p),
-               total=jnp.asarray(total, jnp.int64))
-    return dev, total
+               gid=jnp.asarray(gid),
+               total_inst=jnp.asarray(A.nnz, jnp.int32))
+    return dev, total, upper, chunk_inst
 
 
 def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
-                             full: bool = True, chunk: int = 1 << 25,
-                             out_cap: int = 0, max_retries: int = 3):
+                             full: bool = True, chunk_inst: int = 1 << 22,
+                             out_cap: int = 0, max_retries: int = 3,
+                             upper: int = 0):
     """Device-resident B = A A^T.  Returns (result, total_products) where
     result holds compacted device arrays (t-major order; slots with
     t == SENT empty) plus a 'stats' dict.  Accumulator overflow triggers a
     doubled-capacity retry (capped), mirroring the drop-detect-retry
     contract of the distributed exchanges."""
-    dev, total = upload_kmer_matrix(A)
+    dev, total, upper, chunk_inst = upload_kmer_matrix(A, upper, chunk_inst)
     if out_cap == 0:
         out_cap = _pow2(max(4 * A.nnz, 1 << 14))
-    chunk = min(chunk, _pow2(max(total, 1 << 10)))
     for _ in range(max_retries):
-        res = _spgemm_device(dev["rows"], dev["pos"], dev["gcum"],
-                             dev["gstarts"], dev["gcounts"], dev["total"],
-                             chunk=chunk, out_cap=out_cap,
-                             min_shared=min_shared, full=full)
+        res = _spgemm_device(dev["rows"], dev["pos"], dev["gid"],
+                             dev["total_inst"],
+                             chunk_inst=chunk_inst, out_cap=out_cap,
+                             min_shared=min_shared, full=full, upper=upper)
         if int(res["stats"]["overflow"]) == 0:
             return res, total
         out_cap *= 2
@@ -218,6 +246,9 @@ def device_result_to_host(res, min_shared: int = 2):
     t = np.asarray(res["t"])
     keep = np.flatnonzero((t != SENT) & (np.asarray(res["numshared"])
                                          >= min_shared))
-    return {k: np.asarray(res[k])[keep]
-            for k in ("q", "t", "numshared", "seedQ0", "seedT0",
-                      "seedQ1", "seedT1")}
+    s0 = np.asarray(res["s0"])[keep]
+    s1 = np.asarray(res["s1"])[keep]
+    return {"q": np.asarray(res["q"])[keep], "t": t[keep],
+            "numshared": np.asarray(res["numshared"])[keep],
+            "seedQ0": s0 >> PACK, "seedT0": s0 & ((1 << PACK) - 1),
+            "seedQ1": s1 >> PACK, "seedT1": s1 & ((1 << PACK) - 1)}

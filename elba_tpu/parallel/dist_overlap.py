@@ -57,6 +57,9 @@ class DistOverlapConfig:
     kmer_cap: int = 256       # per-destination k-mer exchange capacity
     pair_cap: int = 256       # per-destination pair exchange capacity
     align_cap: int = 64       # aligned pairs per device per step
+    align_in_step: bool = True  # False: emit candidates only; the caller
+    #                             aligns them with the fused Pallas kernel
+    #                             (the LOGAN-role fast path on real TPU)
 
 
 def _stable_sort3(km, rid, pos):
@@ -245,12 +248,20 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
         qlen = rowlens[ql].astype(jnp.int32)
         tlen = collens[tl].astype(jnp.int32)
 
-        res = jax.vmap(
-            lambda a, bb, c_, d, e, f: _xdrop_one_pair(
-                a, bb, c_, d, e, f, cfg.k, cfg.mat, cfg.mis, cfg.gap,
-                cfg.xdrop, cfg.band))(
-            qcodes.astype(jnp.int8), tcodes.astype(jnp.int8),
-            qlen, tlen, apq, apt)
+        if cfg.align_in_step:
+            res = jax.vmap(
+                lambda a, bb, c_, d, e, f: _xdrop_one_pair(
+                    a, bb, c_, d, e, f, cfg.k, cfg.mat, cfg.mis, cfg.gap,
+                    cfg.xdrop, cfg.band))(
+                qcodes.astype(jnp.int8), tcodes.astype(jnp.int8),
+                qlen, tlen, apq, apt)
+        else:
+            # candidates only: the caller runs the fused Pallas kernel
+            # over the emitted (q, t, seed) list per shard
+            z = jnp.zeros(cfg.align_cap, jnp.int32)
+            res = dict(score=z, begQ=z, endQ=z, begT=z, endT=z,
+                       rc=jnp.zeros(cfg.align_cap, bool),
+                       overflow=jnp.zeros(cfg.align_cap, bool))
         score = jnp.where(asel, res["score"], -1)
         align_truncated = jnp.maximum(jnp.sum(is_head) - cfg.align_cap, 0)
 

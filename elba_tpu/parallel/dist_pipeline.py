@@ -31,7 +31,8 @@ from .mesh import make_mesh2d
 def _distributed_overlap_local(readset: ReadSet, params: PipelineParams,
                                mesh: Mesh, kmer_cap: int = 0,
                                pair_cap: int = 0, align_cap: int = 0,
-                               band: int = 128, max_retries: int = 4):
+                               band: int = 128, max_retries: int = 4,
+                               use_pallas_align: Optional[bool] = None):
     """Run the SPMD overlap step; returns (stats, device-resident local
     result arrays, cfg, lengths).
 
@@ -58,6 +59,11 @@ def _distributed_overlap_local(readset: ReadSet, params: PipelineParams,
         pair_cap = pair_cap or ep
         align_cap = align_cap or ea
 
+    # fused Pallas aligner (the LOGAN role) on real TPU; the vmapped
+    # while_loop kernel stays in-step on CPU meshes and in the dryrun
+    if use_pallas_align is None:
+        use_pallas_align = jax.default_backend() == "tpu"
+
     stats = local = cfg = None
     for attempt in range(max_retries):
         cfg = DistOverlapConfig(
@@ -65,7 +71,8 @@ def _distributed_overlap_local(readset: ReadSet, params: PipelineParams,
             lower=params.lower_freq, upper=params.upper_freq,
             mat=params.mat, mis=params.mis, gap=params.gap,
             xdrop=params.xdrop, band=band,
-            kmer_cap=kmer_cap, pair_cap=pair_cap, align_cap=align_cap)
+            kmer_cap=kmer_cap, pair_cap=pair_cap, align_cap=align_cap,
+            align_in_step=not use_pallas_align)
         step = build_distributed_overlap_step(mesh, cfg)
         stats, local = step(jnp.asarray(codes), jnp.asarray(lengths))
         stats = {k: int(v) for k, v in stats.items()}
@@ -82,7 +89,38 @@ def _distributed_overlap_local(readset: ReadSet, params: PipelineParams,
         raise RuntimeError(
             f"distributed overlap capacities exceeded after "
             f"{max_retries} retries: {stats}")
+
+    if use_pallas_align:
+        local = _align_candidates_pallas(readset, params, local)
     return stats, local, cfg, lengths
+
+
+def _align_candidates_pallas(readset: ReadSet, params: PipelineParams,
+                             local):
+    """Align the SPMD step's candidate list with the fused Pallas x-drop
+    kernel (per-shard embarrassing parallelism; on one chip this is the
+    whole list) and scatter the results into the device-resident arrays."""
+    from ..align.xdrop_pallas import align_batch_pallas
+
+    sel = np.flatnonzero(np.asarray(local["valid"]).reshape(-1))
+    if len(sel) == 0:
+        return local
+    q = np.asarray(local["q"]).reshape(-1)[sel]
+    t = np.asarray(local["t"]).reshape(-1)[sel]
+    sq = np.asarray(local["seedQ"]).reshape(-1)[sel]
+    st = np.asarray(local["seedT"]).reshape(-1)[sel]
+    res = align_batch_pallas(readset, q, t, sq, st, params.k, params.mat,
+                             params.mis, params.gap, params.xdrop,
+                             interpret=jax.default_backend() != "tpu")
+    local = dict(local)
+    jidx = jnp.asarray(sel)
+    for f in ("score", "begQ", "endQ", "begT", "endT", "rc"):
+        flat = local[f].reshape(-1)
+        local[f] = flat.at[jidx].set(
+            jnp.asarray(res[f].astype(np.asarray(flat).dtype)))
+    # align_batch_pallas already re-ran overflow pairs with the oracle
+    local["overflow"] = jnp.zeros_like(local["overflow"]).reshape(-1)
+    return local
 
 
 def _fixup_overflow_device(readset: ReadSet, params: PipelineParams,
@@ -119,14 +157,16 @@ def run_distributed_overlap(readset: ReadSet, params: PipelineParams,
                             mesh: Optional[Mesh] = None,
                             kmer_cap: int = 0, pair_cap: int = 0,
                             align_cap: int = 0, band: int = 128,
-                            max_retries: int = 4) -> COOMatrix:
+                            max_retries: int = 4,
+                            use_pallas_align: Optional[bool] = None
+                            ) -> COOMatrix:
     """Distributed B + alignment; returns the overlap graph R (upper
     pairs, Overlap SoA values), identical to align.pairwise_alignment."""
     if mesh is None:
         mesh = make_mesh2d()
     stats, local, cfg, _ = _distributed_overlap_local(
         readset, params, mesh, kmer_cap, pair_cap, align_cap, band,
-        max_retries)
+        max_retries, use_pallas_align)
 
     nreads = len(readset)
     loc = {k: np.asarray(v).reshape(-1, *np.asarray(v).shape[2:])
@@ -317,12 +357,18 @@ def estimate_capacities_hll(readset: ReadSet, params: PipelineParams,
     # exchange buffers are [nproc, cap] per device, so the balanced share
     # of one (src, dst) bucket is 1/nproc^2 of the total
     kmer_cap = int(instances / nproc ** 2 * slack) + 128
-    # pairs per instance ~ (count - 1) / 2 for counts <= upper
+    # pair INSTANCES per routed bucket: ~ (count - 1) / 2 per instance for
+    # counts <= upper (multiplicity included -- each shared k-mer routes
+    # one product)
     c = min(mean_count, params.upper_freq)
     total_pairs = instances * (c - 1) / 2
     pair_cap = int(total_pairs / nproc ** 2 * slack) + 128
-    # candidate heads per device (distinct pairs <= routed pairs)
-    align_cap = int(total_pairs / nproc * slack) + 128
+    # candidate HEADS per device: distinct read pairs, NOT product
+    # instances (a long overlap contributes hundreds of products but one
+    # head).  ~16 overlap partners per read is generous for <= 40x
+    # coverage; undershoot is corrected by the drop-retry loop, while
+    # overshoot costs real alignment compute on every padded slot.
+    align_cap = int(16 * len(readset) / nproc * slack) + 128
     # power-of-two caps: retry doubling then reuses compiled programs
     rup = lambda x: 1 << int(np.ceil(np.log2(max(x, 128))))
     return rup(kmer_cap), rup(pair_cap), rup(align_cap)

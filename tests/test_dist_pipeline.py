@@ -94,3 +94,17 @@ def test_hll_capacity_estimation(workload):
     R2 = run_distributed_overlap(rs, PARAMS, mesh, kmer_cap=kc,
                                  pair_cap=pc_, align_cap=ac)
     assert R2.nnz == R1.nnz
+
+
+def test_distributed_overlap_pallas_aligner(workload):
+    """The candidates-only SPMD step + fused Pallas aligner (the real-TPU
+    fast path, exercised here in interpret mode) must produce the same R
+    as the in-step vmapped kernel."""
+    rs, R1 = workload
+    mesh = make_mesh2d(jax.devices()[:4])
+    R2 = run_distributed_overlap(rs, PARAMS, mesh, use_pallas_align=True)
+    assert R2.nnz == R1.nnz
+    assert np.array_equal(R2.rows, R1.rows)
+    assert np.array_equal(R2.cols, R1.cols)
+    for f in sorted(R1.vals):
+        assert np.array_equal(R2.vals[f], R1.vals[f]), f
