@@ -242,13 +242,18 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
 
 
 def device_result_to_host(res, min_shared: int = 2):
-    """Fetch the compacted B as numpy SoA (q, t, numshared, seeds)."""
-    t = np.asarray(res["t"])
-    keep = np.flatnonzero((t != SENT) & (np.asarray(res["numshared"])
+    """Fetch the compacted B as numpy SoA (q, t, numshared, seeds).
+
+    The accumulator is head-compacted, so only the first `pairs` slots are
+    occupied; slice on device before fetching (the tunnel moves ~1 MB/s,
+    so fetching the full capacity would dwarf the compute)."""
+    n = int(res["stats"]["pairs"])
+    t = np.asarray(res["t"][:n])
+    keep = np.flatnonzero((t != SENT) & (np.asarray(res["numshared"][:n])
                                          >= min_shared))
-    s0 = np.asarray(res["s0"])[keep]
-    s1 = np.asarray(res["s1"])[keep]
-    return {"q": np.asarray(res["q"])[keep], "t": t[keep],
-            "numshared": np.asarray(res["numshared"])[keep],
+    s0 = np.asarray(res["s0"][:n])[keep]
+    s1 = np.asarray(res["s1"][:n])[keep]
+    return {"q": np.asarray(res["q"][:n])[keep], "t": t[keep],
+            "numshared": np.asarray(res["numshared"][:n])[keep],
             "seedQ0": s0 >> PACK, "seedT0": s0 & ((1 << PACK) - 1),
             "seedQ1": s1 >> PACK, "seedT1": s1 & ((1 << PACK) - 1)}
