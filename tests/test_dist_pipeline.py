@@ -108,3 +108,48 @@ def test_distributed_overlap_pallas_aligner(workload):
     assert np.array_equal(R2.cols, R1.cols)
     for f in sorted(R1.vals):
         assert np.array_equal(R2.vals[f], R1.vals[f]), f
+
+
+def test_distributed_pipeline_prunes_bad_and_contained(rng):
+    """Workload with real pruning work: short reads contained in others
+    and a read whose only overlaps are sub-500bp (all alignments BAD ->
+    bad-read removal).  On-mesh pruning must match the host path."""
+    from elba_tpu.dseq.dna import codes_to_ascii
+
+    genome = rng.integers(0, 4, 8000, dtype=np.uint8)
+    seqs = []
+    for s in range(0, 7001, 500):
+        seqs.append(codes_to_ascii(genome[s:s + 1000]))
+    # contained reads: fully inside read 0 / read 4 (different strands)
+    seqs.append(codes_to_ascii(genome[100:800]))
+    sub = genome[2100:2800]
+    seqs.append(codes_to_ascii((3 - sub[::-1]).astype(np.uint8)))
+    # bad read: only ~300bp overlaps with the tiling (stride offset 8200
+    # is past the last tile start 7000 -> overlaps read 14 (7000:8000) by
+    # 0... place it to overlap the last read by 300bp only)
+    seqs.append(codes_to_ascii(
+        np.concatenate([genome[7700:8000],
+                        rng.integers(0, 4, 700, dtype=np.uint8)])))
+    rs = ReadSet.from_sequences(seqs)
+
+    A = build_kmer_matrix(rs, PARAMS.k, PARAMS.lower_freq, PARAMS.upper_freq)
+    B = build_seed_matrix(A, min_shared=2, full=True)
+    R1 = pairwise_alignment(rs, B, PARAMS.k, PARAMS.mat, PARAMS.mis,
+                            PARAMS.gap, PARAMS.xdrop,
+                            aligner=align_batch_jax)
+    Rp = prune_overlap_graph(R1, PARAMS.bad_read_cutoff)
+    # the fixture must actually prune something
+    assert Rp.nnz < int(R1.vals["passed"].sum()) or \
+        len(np.unique(np.concatenate([Rp.rows, Rp.cols]))) < \
+        len(np.unique(np.concatenate([R1.rows, R1.cols])))
+    S1 = transitive_reduction(Rp)
+    contigs_1 = generate_contigs(S1, rs)
+
+    mesh = make_mesh2d(jax.devices()[:4])
+    Rd, Sd, contigs_d = run_distributed_pipeline(rs, PARAMS, mesh,
+                                                 on_mesh=True)
+    assert np.array_equal(Sd.rows, S1.rows)
+    assert np.array_equal(Sd.cols, S1.cols)
+    for f in sorted(S1.vals):
+        assert np.array_equal(Sd.vals[f], S1.vals[f]), f
+    assert contigs_d == contigs_1
