@@ -528,11 +528,12 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
     work = np.maximum(cols, rows)
     live = live[np.argsort(work[live], kind="stable")]
 
-    # one padded shape for every continuation round: later rounds only
-    # shrink the live set, and padded (inactive) items cost one no-op
-    # iteration per kernel block -- while a new shape costs a remote
-    # kernel-wrapper compile
-    npad = max(16, 1 << int(np.ceil(np.log2(max(len(live), 1)))))
+    # ONE padded shape per batch geometry: npad is derived from the item
+    # count (2 * pairs), NOT the live count, so every batch of the same
+    # size shares one compiled kernel -- a new shape costs a full remote
+    # Mosaic compile (tens of minutes for the unrolled kernel), while a
+    # padded (inactive) item block exits its while loop immediately
+    npad = max(16, 1 << int(np.ceil(np.log2(max(n_items, 1)))))
     rounds = 0
     while len(live) > 0 and rounds < 64:
         rounds += 1
@@ -650,17 +651,29 @@ def align_batch_pallas(readset, qi, ti, seedQ, seedT, k, mat, mis, gap,
         qidx = (qi[sel] - s0).astype(np.int64)
         tidx = (ti[sel] - s0).astype(np.int64)
         Pn = len(sel)
+        # fixed batch geometry: tail batches pad to the full batch size
+        # (and read lengths to a power-of-two bucket) so every batch
+        # reuses one compiled kernel shape
         Lmax = int(max(lens[qidx].max(), lens[tidx].max()))
-        qb = np.zeros((Pn, Lmax), np.int8)
-        tb = np.zeros((Pn, Lmax), np.int8)
+        Lmax = max(512, 1 << int(np.ceil(np.log2(Lmax))))
+        qb = np.zeros((batch, Lmax), np.int8)
+        tb = np.zeros((batch, Lmax), np.int8)
+        lq = np.zeros(batch, np.int32)
+        lt = np.zeros(batch, np.int32)
+        sq = np.full(batch, -1, np.int32)
+        st = np.full(batch, -1, np.int32)
         for r in range(Pn):
             qb[r, :lens[qidx[r]]] = readset.read_codes(int(qidx[r]))
             tb[r, :lens[tidx[r]]] = readset.read_codes(int(tidx[r]))
+        lq[:Pn] = lens[qidx]
+        lt[:Pn] = lens[tidx]
+        sq[:Pn] = seedQ[sel]
+        st[:Pn] = seedT[sel]
         res = xdrop_pairs_pallas(
-            qb, tb, lens[qidx].astype(np.int32), lens[tidx].astype(np.int32),
-            seedQ[sel].astype(np.int32), seedT[sel].astype(np.int32),
+            qb, tb, lq, lt, sq, st,
             int(k), int(mat), int(mis), int(gap), int(dropoff),
             interpret=interpret)
+        res = {f: v[:Pn] for f, v in res.items()}
 
         for r in np.flatnonzero(res["overflow"]):
             ref = xdrop_align_ref(
