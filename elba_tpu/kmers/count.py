@@ -145,8 +145,64 @@ def _sort_instances_words(words, valid, read_ids):
     return ([w[order] for w in flat], rid[order], pos[order], len(flat[0]))
 
 
-def build_kmer_matrix(readset, k: int, lower: int, upper: int) -> KmerMatrix:
-    """Convenience: extract + count from a ReadSet."""
+def count_reliable_kmers_native(readset, k: int, lower: int, upper: int):
+    """C++ fast path (native/kmercount.cpp): rolling canonical extraction
+    + parallel stable sort + run-length filter, ~10x the numpy path on
+    genome-scale inputs.  Returns None when unavailable (k > 32 or no
+    toolchain); the caller falls back to numpy.  Same canonical instance
+    order and reliable set as the numpy path (asserted by tests)."""
+    if k > 32:
+        return None
+    from ..native.loader import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = len(readset)
+    lengths = readset.lengths.astype(np.int64)
+    bounds = np.zeros(n + 1, np.int64)
+    bounds[1:] = np.cumsum(lengths)
+    if n and np.array_equal(np.asarray(readset.offsets), bounds[:-1]):
+        codes = np.ascontiguousarray(readset.codes, np.uint8)
+    else:  # non-contiguous ReadSet: compact once
+        codes = np.concatenate(
+            [readset.read_codes(i) for i in range(n)]
+        ).astype(np.uint8) if n else np.zeros(0, np.uint8)
+
+    W = int(np.maximum(lengths - k + 1, 0).sum())
+    rows = np.empty(max(W, 1), np.int64)
+    cols = np.empty(max(W, 1), np.int64)
+    pos = np.empty(max(W, 1), np.int32)
+    kmers = np.empty(max(W, 1), np.uint64)
+    nk = np.zeros(1, np.int64)
+    i64 = ctypes.c_int64
+    kept = lib.kmer_count_reliable(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bounds.ctypes.data_as(ctypes.POINTER(i64)),
+        i64(n), i64(k), i64(lower), i64(upper),
+        rows.ctypes.data_as(ctypes.POINTER(i64)),
+        cols.ctypes.data_as(ctypes.POINTER(i64)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nk.ctypes.data_as(ctypes.POINTER(i64)))
+    num_kmers = int(nk[0])
+    return KmerMatrix(
+        rows=rows[:kept] + readset.start_id,
+        cols=cols[:kept].copy(),
+        pos=pos[:kept].copy(),
+        kmers=kmers[:num_kmers].copy(),
+        num_reads=n, num_kmers=num_kmers)
+
+
+def build_kmer_matrix(readset, k: int, lower: int, upper: int,
+                      native: bool = True) -> KmerMatrix:
+    """Convenience: extract + count from a ReadSet (C++ fast path when
+    available, numpy otherwise)."""
+    if native:
+        m = count_reliable_kmers_native(readset, k, lower, upper)
+        if m is not None:
+            return m
     codes = readset.padded_codes()
     lengths = readset.lengths
     read_ids = np.arange(readset.start_id, readset.start_id + len(readset),

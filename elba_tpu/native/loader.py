@@ -14,7 +14,8 @@ import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_elba_native.so")
-_SRC = os.path.join(_HERE, "fastaio.cpp")
+_SRCS = [os.path.join(_HERE, "fastaio.cpp"),
+         os.path.join(_HERE, "kmercount.cpp")]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -22,9 +23,9 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
-           _SRC, "-o", _SO]
+           *_SRCS, "-o", _SO]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
     except Exception:
         return False
@@ -36,8 +37,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 return None
         try:
@@ -60,6 +61,10 @@ def get_lib():
                                    p32, p32, p32, p8, pc, pi64,
                                    ctypes.c_char_p, i64]
         lib.format_paf.restype = i64
+        pu64 = ctypes.POINTER(ctypes.c_uint64)
+        lib.kmer_count_reliable.argtypes = [p8, pi64, i64, i64, i64, i64,
+                                            pi64, pi64, p32, pu64, pi64]
+        lib.kmer_count_reliable.restype = i64
         _lib = lib
         return _lib
 

@@ -193,3 +193,42 @@ def test_three_word_pipeline_smoke(rng):
     B = build_seed_matrix(m, min_shared=2, full=False)
     # each adjacent pair shares a 400bp window -> candidates exist
     assert B.nnz >= 5
+
+
+def test_native_counting_matches_numpy(rng):
+    from elba_tpu.kmers.count import (build_kmer_matrix,
+                                      count_reliable_kmers_native)
+    from elba_tpu.native.loader import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    for k, L, U in [(7, 2, 8), (17, 2, 6), (31, 3, 12)]:
+        reads = []
+        core = random_dna(rng, 300)
+        for i in range(15):
+            r = random_dna(rng, 200)
+            r[40:140] = core[i * 10:i * 10 + 100]
+            reads.append("".join("ACGT"[c] for c in r))
+        rs = ReadSet.from_sequences(reads)
+        m_np = build_kmer_matrix(rs, k, L, U, native=False)
+        m_nat = count_reliable_kmers_native(rs, k, L, U)
+        assert m_nat is not None
+        assert m_nat.num_kmers == m_np.num_kmers, k
+        assert np.array_equal(m_nat.kmers, m_np.kmers), k
+        assert np.array_equal(m_nat.rows, m_np.rows), k
+        assert np.array_equal(m_nat.cols, m_np.cols), k
+        assert np.array_equal(m_nat.pos, m_np.pos), k
+
+
+def test_native_counting_sharded_start_id(rng):
+    from elba_tpu.kmers.count import count_reliable_kmers_native
+    from elba_tpu.native.loader import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    reads = ["".join("ACGT"[c] for c in random_dna(rng, 100))
+             for _ in range(4)] * 2
+    rs = ReadSet.from_sequences(reads, start_id=100)
+    m = count_reliable_kmers_native(rs, 9, 2, 8)
+    assert m is not None and m.nnz > 0
+    assert m.rows.min() >= 100
