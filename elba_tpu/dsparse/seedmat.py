@@ -66,6 +66,35 @@ class SeedMatrix:
         return self.mat.nnz
 
 
+def seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
+                       full: bool = True) -> SeedMatrix:
+    """Device SpGEMM path (dsparse/seedmat_device.py) packaged as a
+    SeedMatrix; identical entries and canonical order to the host path
+    (the accumulator is (t, q)-sorted = column-major)."""
+    from .seedmat_device import build_seed_matrix_device, device_result_to_host
+
+    res, _total = build_seed_matrix_device(A, min_shared=min_shared,
+                                           full=full)
+    got = device_result_to_host(res, min_shared)
+    vals = dict(numshared=got["numshared"].astype(np.int32),
+                seedQ0=got["seedQ0"].astype(np.int32),
+                seedT0=got["seedT0"].astype(np.int32),
+                seedQ1=got["seedQ1"].astype(np.int32),
+                seedT1=got["seedT1"].astype(np.int32))
+    mat = COOMatrix(rows=got["q"].astype(np.int64),
+                    cols=got["t"].astype(np.int64),
+                    vals=vals, shape=(A.num_reads, A.num_reads))
+    return SeedMatrix(mat=mat)
+
+
+def device_spgemm_suitable(A: KmerMatrix, upper: int) -> bool:
+    """The device SpGEMM packs positions 2-per-int32 and bounds the
+    offset enumeration by the group size."""
+    if upper > 256 or A.num_reads >= 2**31:
+        return False
+    return A.nnz == 0 or int(A.pos.max()) < (1 << 15)
+
+
 def build_seed_matrix(A: KmerMatrix, min_shared: int = 2,
                       full: bool = True,
                       max_products: int = 200_000_000) -> SeedMatrix:

@@ -228,7 +228,9 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
     contract of the distributed exchanges."""
     dev, total, upper, chunk_inst = upload_kmer_matrix(A, upper, chunk_inst)
     if out_cap == 0:
-        out_cap = _pow2(max(4 * A.nnz, 1 << 14))
+        # distinct pairs are usually << products; a capped default keeps
+        # the per-chunk merge small and the retry loop covers undershoot
+        out_cap = _pow2(max(min(4 * A.nnz, 1 << 24), 1 << 14))
     for _ in range(max_retries):
         res = _spgemm_device(dev["rows"], dev["pos"], dev["gid"],
                              dev["total_inst"],

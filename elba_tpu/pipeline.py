@@ -71,9 +71,19 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     with phase("load_fasta"):
         readset = load_fasta(fasta_path)
 
+    import jax
+    on_tpu = jax.default_backend() != "cpu"
+
     with phase("kmer_matrix"):
-        A = build_kmer_matrix(readset, params.k, params.lower_freq,
-                              params.upper_freq)
+        if on_tpu and params.k <= 32:
+            # device counting: one variadic sort on chip (DEDUKT role)
+            from .kmers.count_device import build_kmer_matrix_device
+            A = build_kmer_matrix_device(readset, params.k,
+                                         params.lower_freq,
+                                         params.upper_freq)
+        else:
+            A = build_kmer_matrix(readset, params.k, params.lower_freq,
+                                  params.upper_freq)
     if log:
         log(f"[elba-tpu] A: {A.num_reads} reads x {A.num_kmers} reliable "
             f"k-mers, {A.nnz} nnz")
@@ -89,7 +99,11 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     with phase("seed_matrix"):
         # upper-triangle B: the alignment set; the full symmetric B is only
         # needed for mtx dumps (io.mtx can derive it by symmetry)
-        B = build_seed_matrix(A, min_shared=2, full=False)
+        from .dsparse.seedmat import device_spgemm_suitable, seed_matrix_device
+        if on_tpu and device_spgemm_suitable(A, params.upper_freq):
+            B = seed_matrix_device(A, min_shared=2, full=False)
+        else:
+            B = build_seed_matrix(A, min_shared=2, full=False)
     if log:
         log(f"[elba-tpu] B: {B.nnz} candidate entries")
     if write_outputs and log_level >= 2:

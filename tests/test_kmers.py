@@ -232,3 +232,23 @@ def test_native_counting_sharded_start_id(rng):
     m = count_reliable_kmers_native(rs, 9, 2, 8)
     assert m is not None and m.nnz > 0
     assert m.rows.min() >= 100
+
+
+def test_device_counting_matches_numpy(rng):
+    from elba_tpu.kmers.count import build_kmer_matrix
+    from elba_tpu.kmers.count_device import build_kmer_matrix_device
+    for k, L, U in [(7, 2, 8), (17, 2, 6), (31, 2, 12)]:
+        reads = []
+        core = random_dna(rng, 300)
+        for i in range(12):
+            r = random_dna(rng, 150 + 7 * i)
+            r[30:130] = core[i * 10:i * 10 + 100]
+            reads.append("".join("ACGT"[c] for c in r))
+        rs = ReadSet.from_sequences(reads)
+        m_np = build_kmer_matrix(rs, k, L, U, native=False)
+        m_dev = build_kmer_matrix_device(rs, k, L, U)
+        assert m_dev.num_kmers == m_np.num_kmers, k
+        assert np.array_equal(m_dev.kmers, m_np.kmers), k
+        assert np.array_equal(m_dev.rows, m_np.rows), k
+        assert np.array_equal(m_dev.cols, m_np.cols), k
+        assert np.array_equal(m_dev.pos, m_np.pos), k

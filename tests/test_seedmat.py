@@ -184,3 +184,17 @@ def test_chunked_expansion_matches_unchunked(rng):
     assert np.array_equal(big.cols, small.cols)
     for f in big.vals:
         assert np.array_equal(big.vals[f], small.vals[f]), f
+
+
+def test_seed_matrix_device_wrapper_matches_host(rng):
+    from elba_tpu.dsparse.seedmat import (device_spgemm_suitable,
+                                          seed_matrix_device)
+    rs = _motif_readset(rng)
+    A = build_kmer_matrix(rs, 7, 2, 8)
+    assert device_spgemm_suitable(A, 8)
+    host = build_seed_matrix(A, min_shared=2, full=False)
+    dev = seed_matrix_device(A, min_shared=2, full=False)
+    assert np.array_equal(dev.mat.rows, host.mat.rows)
+    assert np.array_equal(dev.mat.cols, host.mat.cols)
+    for f in host.mat.vals:
+        assert np.array_equal(dev.mat.vals[f], host.mat.vals[f]), f
