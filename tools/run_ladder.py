@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--xdrop", type=int, default=15)
     ap.add_argument("--upper", type=int, default=8)
+    ap.add_argument("--lower", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--prefix", default="/tmp/elba_ladder")
     ap.add_argument("--align-batch", type=int, default=512)
@@ -57,7 +58,8 @@ def main():
                  read_len=args.read_len, error=args.err, seed=30)
     sim_s = time.time() - t0
 
-    params = PipelineParams(k=args.k, lower_freq=2, upper_freq=args.upper,
+    params = PipelineParams(k=args.k, lower_freq=args.lower,
+                            upper_freq=args.upper,
                             xdrop=args.xdrop, output_prefix=args.prefix)
 
     aligner = None
