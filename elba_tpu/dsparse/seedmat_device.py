@@ -218,7 +218,7 @@ def upload_kmer_matrix(A: KmerMatrix, upper: int = 0,
 
 
 def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
-                             full: bool = True, chunk_inst: int = 1 << 22,
+                             full: bool = True, chunk_inst: int = 0,
                              out_cap: int = 0, max_retries: int = 3,
                              upper: int = 0):
     """Device-resident B = A A^T.  Returns (result, total_products) where
@@ -226,6 +226,15 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
     t == SENT empty) plus a 'stats' dict.  Accumulator overflow triggers a
     doubled-capacity retry (capped), mirroring the drop-detect-retry
     contract of the distributed exchanges."""
+    if chunk_inst == 0:
+        # span product slots per instance: budget ~2^26 slots per chunk
+        # (x 6 int32 arrays x sort double-buffering ~= 3GB HBM)
+        counts_max = upper
+        if counts_max == 0 and A.num_kmers:
+            counts_max = int(np.bincount(A.cols,
+                                         minlength=A.num_kmers).max())
+        span = max(2 * counts_max - 1 if full else counts_max - 1, 1)
+        chunk_inst = max((1 << 26) // span, 1 << 18)
     dev, total, upper, chunk_inst = upload_kmer_matrix(A, upper, chunk_inst)
     if out_cap == 0:
         # distinct pairs are usually << products; a capped default keeps

@@ -64,7 +64,10 @@ def build_kmer_matrix_device(readset, k: int, lower: int,
     assert k <= 32, "device counting packs one uint64 (k <= 32)"
     n = len(readset)
     L = _pow2(max(readset.max_length, k + 1))
-    Rpad = _pow2(max(n, 8))
+    # reads pad to a multiple of 1024 (not a power of two): the flattened
+    # instance sort is ~24 bytes/element double-buffered, so a 2x row
+    # padding at genome scale would blow HBM
+    Rpad = max(-(-n // 1024) * 1024, 8) if n > 4096 else _pow2(max(n, 8))
     codes = np.zeros((Rpad, L), np.uint8)
     lengths = np.zeros(Rpad, np.int32)
     codes[:n] = readset.padded_codes(L)

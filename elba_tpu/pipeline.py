@@ -75,8 +75,10 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     on_tpu = jax.default_backend() != "cpu"
 
     with phase("kmer_matrix"):
-        if on_tpu and params.k <= 32:
-            # device counting: one variadic sort on chip (DEDUKT role)
+        # device counting (one variadic sort on chip, the DEDUKT role)
+        # when the flattened instance sort fits HBM; native C++ otherwise
+        windows = len(readset) * max(readset.max_length - params.k + 1, 0)
+        if on_tpu and params.k <= 32 and windows < 180_000_000:
             from .kmers.count_device import build_kmer_matrix_device
             A = build_kmer_matrix_device(readset, params.k,
                                          params.lower_freq,
