@@ -66,15 +66,12 @@ class SeedMatrix:
         return self.mat.nnz
 
 
-def seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
-                       full: bool = True) -> SeedMatrix:
-    """Device SpGEMM path (dsparse/seedmat_device.py) packaged as a
-    SeedMatrix; identical entries and canonical order to the host path
-    (the accumulator is (t, q)-sorted = column-major)."""
-    from .seedmat_device import build_seed_matrix_device, device_result_to_host
+def seed_matrix_from_device_result(res, num_reads: int,
+                                   min_shared: int = 2) -> SeedMatrix:
+    """Package a device SpGEMM result dict as a SeedMatrix (fetches only
+    the compacted entries)."""
+    from .seedmat_device import device_result_to_host
 
-    res, _total = build_seed_matrix_device(A, min_shared=min_shared,
-                                           full=full)
     got = device_result_to_host(res, min_shared)
     vals = dict(numshared=got["numshared"].astype(np.int32),
                 seedQ0=got["seedQ0"].astype(np.int32),
@@ -83,8 +80,20 @@ def seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
                 seedT1=got["seedT1"].astype(np.int32))
     mat = COOMatrix(rows=got["q"].astype(np.int64),
                     cols=got["t"].astype(np.int64),
-                    vals=vals, shape=(A.num_reads, A.num_reads))
+                    vals=vals, shape=(num_reads, num_reads))
     return SeedMatrix(mat=mat)
+
+
+def seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
+                       full: bool = True) -> SeedMatrix:
+    """Device SpGEMM path (dsparse/seedmat_device.py) packaged as a
+    SeedMatrix; identical entries and canonical order to the host path
+    (the accumulator is (t, q)-sorted = column-major)."""
+    from .seedmat_device import build_seed_matrix_device
+
+    res, _total = build_seed_matrix_device(A, min_shared=min_shared,
+                                           full=full)
+    return seed_matrix_from_device_result(res, A.num_reads, min_shared)
 
 
 def device_spgemm_suitable(A: KmerMatrix, upper: int) -> bool:

@@ -252,6 +252,52 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
         f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
 
 
+@functools.partial(jax.jit, static_argnames=("upper", "npad"))
+def _relayout_from_count(rid, pos, rank, nnz, upper: int, npad: int):
+    """Re-layout the device counting result into the SpGEMM's halo-padded
+    instance arrays, entirely on device.  Dead tail slots and the halo get
+    DISJOINT negative group ids (dead: -(i+2) for slot i < N; halo/back:
+    -(npad + i + 2)) so no spurious same-group pair can form."""
+    N = rid.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    gid_in = jnp.where(idx < nnz, rank, -(idx + 2))
+    off = upper - 1
+    base = -(jnp.arange(npad, dtype=jnp.int32) + npad + 2)
+    rows = jnp.zeros(npad, jnp.int32).at[off:off + N].set(rid)
+    pos_p = jnp.zeros(npad, jnp.int32).at[off:off + N].set(pos)
+    gid_p = base.at[off:off + N].set(gid_in)
+    return rows, pos_p, gid_p
+
+
+def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
+                             full: bool = False, out_cap: int = 0,
+                             max_retries: int = 3):
+    """Chained device path: counting result -> SpGEMM without fetching the
+    instance arrays to the host.  Returns the device B result dict."""
+    assert upper <= 256
+    N = int(count_res["rid"].shape[0])
+    span = max(2 * upper - 1 if full else upper - 1, 1)
+    CI = max((1 << 26) // span, 1 << 18)
+    CI = min(CI, _pow2(max(N, 1 << 10)))
+    nchunks_max = -(-N // CI)
+    npad = _pow2(nchunks_max * CI + 2 * upper)
+    rows, pos_p, gid_p = _relayout_from_count(
+        count_res["rid"], count_res["pos"], count_res["rank"],
+        count_res["nnz"], upper, npad)
+    total_inst = count_res["nnz"].astype(jnp.int32)
+    if out_cap == 0:
+        out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
+    for _ in range(max_retries):
+        res = _spgemm_device(rows, pos_p, gid_p, total_inst,
+                             chunk_inst=CI, out_cap=out_cap,
+                             min_shared=min_shared, full=full, upper=upper)
+        if int(res["stats"]["overflow"]) == 0:
+            return res
+        out_cap *= 2
+    raise RuntimeError(
+        f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
+
+
 def device_result_to_host(res, min_shared: int = 2):
     """Fetch the compacted B as numpy SoA (q, t, numshared, seeds).
 

@@ -52,6 +52,15 @@ class KmerMatrix:
         return len(self.rows)
 
 
+@dataclasses.dataclass
+class KmerMatrixSummary:
+    """Shape/statistics stand-in for A when the instance arrays stay on
+    device (the chained device counting -> SpGEMM path)."""
+    num_reads: int
+    num_kmers: int
+    nnz: int
+
+
 def _sort_instances(canon, valid, read_ids):
     """Flatten (kmer, read, pos) instances and sort by (kmer, read, pos).
 

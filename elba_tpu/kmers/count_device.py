@@ -58,6 +58,24 @@ def _pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
 
+def count_device_raw(readset, k: int, lower: int, upper: int):
+    """Run the device counting program WITHOUT fetching the instance
+    arrays -- the chained device SpGEMM consumes them in place
+    (dsparse/seedmat_device.spgemm_from_device_count), avoiding a
+    multi-GB host roundtrip through the tunnel."""
+    assert k <= 32, "device counting packs one uint64 (k <= 32)"
+    n = len(readset)
+    L = _pow2(max(readset.max_length, k + 1))
+    Rpad = max(-(-n // 1024) * 1024, 8) if n > 4096 else _pow2(max(n, 8))
+    codes = np.zeros((Rpad, L), np.uint8)
+    lengths = np.zeros(Rpad, np.int32)
+    codes[:n] = readset.padded_codes(L)
+    lengths[:n] = readset.lengths
+    res = _count_device(jnp.asarray(codes), jnp.asarray(lengths),
+                        k, lower, upper)
+    return res
+
+
 def build_kmer_matrix_device(readset, k: int, lower: int,
                              upper: int) -> KmerMatrix:
     """Count on device; returns the A matrix on host (compacted fetch)."""

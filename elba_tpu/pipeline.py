@@ -73,12 +73,27 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
 
     import jax
     on_tpu = jax.default_backend() != "cpu"
+    # device counting (one variadic sort on chip, the DEDUKT role) when
+    # the flattened instance sort fits HBM; chained straight into the
+    # device SpGEMM (no host roundtrip of the instance arrays) when the
+    # caller does not need A's triples (histogram/dump logging does)
+    windows = len(readset) * max(readset.max_length - params.k + 1, 0)
+    dev_count = on_tpu and params.k <= 32 and windows < 180_000_000
+    chain = (dev_count and params.upper_freq <= 256
+             and readset.max_length < (1 << 15) and log_level < 2)
 
+    count_res = None
     with phase("kmer_matrix"):
-        # device counting (one variadic sort on chip, the DEDUKT role)
-        # when the flattened instance sort fits HBM; native C++ otherwise
-        windows = len(readset) * max(readset.max_length - params.k + 1, 0)
-        if on_tpu and params.k <= 32 and windows < 180_000_000:
+        if chain:
+            from .kmers.count import KmerMatrixSummary
+            from .kmers.count_device import count_device_raw
+            count_res = count_device_raw(readset, params.k,
+                                         params.lower_freq,
+                                         params.upper_freq)
+            A = KmerMatrixSummary(num_reads=len(readset),
+                                  num_kmers=int(count_res["nk"]),
+                                  nnz=int(count_res["nnz"]))
+        elif dev_count:
             from .kmers.count_device import build_kmer_matrix_device
             A = build_kmer_matrix_device(readset, params.k,
                                          params.lower_freq,
@@ -101,8 +116,15 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     with phase("seed_matrix"):
         # upper-triangle B: the alignment set; the full symmetric B is only
         # needed for mtx dumps (io.mtx can derive it by symmetry)
-        from .dsparse.seedmat import device_spgemm_suitable, seed_matrix_device
-        if on_tpu and device_spgemm_suitable(A, params.upper_freq):
+        from .dsparse.seedmat import (device_spgemm_suitable,
+                                      seed_matrix_device,
+                                      seed_matrix_from_device_result)
+        if chain:
+            from .dsparse.seedmat_device import spgemm_from_device_count
+            bres = spgemm_from_device_count(count_res, params.upper_freq,
+                                            min_shared=2, full=False)
+            B = seed_matrix_from_device_result(bres, len(readset))
+        elif on_tpu and device_spgemm_suitable(A, params.upper_freq):
             B = seed_matrix_device(A, min_shared=2, full=False)
         else:
             B = build_seed_matrix(A, min_shared=2, full=False)

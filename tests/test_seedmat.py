@@ -198,3 +198,25 @@ def test_seed_matrix_device_wrapper_matches_host(rng):
     assert np.array_equal(dev.mat.cols, host.mat.cols)
     for f in host.mat.vals:
         assert np.array_equal(dev.mat.vals[f], host.mat.vals[f]), f
+
+
+def test_chained_device_count_spgemm_matches_host(rng):
+    """count_device_raw -> spgemm_from_device_count (no host roundtrip of
+    the instance arrays) must equal the host A -> B chain."""
+    from elba_tpu.dsparse.seedmat import seed_matrix_from_device_result
+    from elba_tpu.dsparse.seedmat_device import spgemm_from_device_count
+    from elba_tpu.kmers.count_device import count_device_raw
+
+    rs = _motif_readset(rng, nreads=14)
+    A = build_kmer_matrix(rs, 7, 2, 8)
+    host = build_seed_matrix(A, min_shared=2, full=False)
+
+    cres = count_device_raw(rs, 7, 2, 8)
+    assert int(cres["nnz"]) == A.nnz and int(cres["nk"]) == A.num_kmers
+    bres = spgemm_from_device_count(cres, upper=8, min_shared=2,
+                                    full=False)
+    B = seed_matrix_from_device_result(bres, len(rs))
+    assert np.array_equal(B.mat.rows, host.mat.rows)
+    assert np.array_equal(B.mat.cols, host.mat.cols)
+    for f in host.mat.vals:
+        assert np.array_equal(B.mat.vals[f], host.mat.vals[f]), f
