@@ -34,8 +34,11 @@ import numpy as np
 
 def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
                 band=128, k=17):
-    import jax
-    from elba_tpu.align.xdrop_pallas import xdrop_pairs_pallas
+    """Headline: the device-resident single-dispatch driver
+    (align/xdrop_device.py) — read set uploaded once, window build + Pallas
+    kernel + continuation rounds fused into one jitted program per batch."""
+    from elba_tpu.align.xdrop_device import get_device_aligner
+    from elba_tpu.dseq.dna import ReadSet
 
     rng = np.random.default_rng(0xBE7C)
     L = read_len
@@ -54,7 +57,6 @@ def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
         a = i * (read_len - overlap)
         q[i] = noisy(genome[a:a + read_len])
         t[i] = noisy(genome[a + (read_len - overlap):a + 2 * read_len - overlap])
-    lens = np.full(pairs, read_len, np.int32)
     # seed inside the overlap region
     bq = np.full(pairs, read_len - overlap + 64, np.int32)
     bt = np.full(pairs, 64, np.int32)
@@ -62,14 +64,27 @@ def bench_xdrop(pairs=512, read_len=4096, overlap=2048, err=0.03,
     for i in range(pairs):
         t[i, bt[i]:bt[i] + k] = q[i, bq[i]:bq[i] + k]
 
+    # interleave q/t into one flat-code read set (reads 2i / 2i+1)
+    codes = np.empty((2 * pairs, L), np.uint8)
+    codes[0::2] = q
+    codes[1::2] = t
+    codes = codes.reshape(-1)
+    lengths = np.full(2 * pairs, L, np.int64)
+    offsets = (np.arange(2 * pairs, dtype=np.int64) * L)
+    rs = ReadSet(codes=codes, offsets=offsets, lengths=lengths,
+                 names=[f"r{i}" for i in range(2 * pairs)], start_id=0)
+    qi = np.arange(0, 2 * pairs, 2, dtype=np.int32)
+    ti = np.arange(1, 2 * pairs, 2, dtype=np.int32)
+    aligner = get_device_aligner(batch=pairs)
+
     t0 = time.time()
-    res = xdrop_pairs_pallas(q, t, lens, lens, bq, bt, k, 1, -1, -1, 15)
+    res = aligner(rs, qi, ti, bq, bt, k, 1, -1, -1, 15)
     compile_s = time.time() - t0
 
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        res = xdrop_pairs_pallas(q, t, lens, lens, bq, bt, k, 1, -1, -1, 15)
+        res = aligner(rs, qi, ti, bq, bt, k, 1, -1, -1, 15)
         best = min(best, time.time() - t0)
     nscored = int((np.asarray(res["score"]) > 0).sum())
 

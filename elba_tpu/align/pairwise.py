@@ -65,8 +65,10 @@ def pairwise_alignment(readset: ReadSet, B: SeedMatrix, k: int,
             from .xdrop_jax import align_batch_jax
             aligner = align_batch_jax
         else:
-            from .xdrop_pallas import align_batch_pallas
-            aligner = align_batch_pallas
+            # device-resident single-dispatch driver (uploads the read
+            # set once; ~7x the host-driven batch loop on the tunneled v5e)
+            from .xdrop_device import get_device_aligner
+            aligner = get_device_aligner()
 
     res = aligner(readset, qi, ti, seedQ, seedT, k, mat, mis, gap, dropoff)
 

@@ -356,8 +356,10 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
     out_ref[:, :] = v
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _extend_rounds_x32(params, qw, tw, st_in, interpret: bool = False):
+def pallas_extend(params, qw, tw, st_in, interpret: bool = False):
+    """Raw (unjitted) kernel invocation: callable from inside larger jitted
+    programs (the device-resident driver in xdrop_device.py fuses window
+    building + this kernel + continuation bookkeeping into one dispatch)."""
     N = params.shape[0]
     grid = (N // SUB,)
     out, st_out = pl.pallas_call(
@@ -390,6 +392,10 @@ def _extend_rounds_x32(params, qw, tw, st_in, interpret: bool = False):
         interpret=interpret,
     )(params, qw, tw, st_in)
     return out, st_out
+
+
+_extend_rounds_x32 = functools.partial(jax.jit, static_argnums=(4,))(
+    pallas_extend)
 
 
 def xdrop_extend_items_rounds(params, qw, tw, st_in, interpret=False):

@@ -100,7 +100,7 @@ def _align_candidates_pallas(readset: ReadSet, params: PipelineParams,
     """Align the SPMD step's candidate list with the fused Pallas x-drop
     kernel (per-shard embarrassing parallelism; on one chip this is the
     whole list) and scatter the results into the device-resident arrays."""
-    from ..align.xdrop_pallas import align_batch_pallas
+    from ..align.xdrop_device import get_device_aligner
 
     sel = np.flatnonzero(np.asarray(local["valid"]).reshape(-1))
     if len(sel) == 0:
@@ -109,9 +109,10 @@ def _align_candidates_pallas(readset: ReadSet, params: PipelineParams,
     t = np.asarray(local["t"]).reshape(-1)[sel]
     sq = np.asarray(local["seedQ"]).reshape(-1)[sel]
     st = np.asarray(local["seedT"]).reshape(-1)[sel]
-    res = align_batch_pallas(readset, q, t, sq, st, params.k, params.mat,
-                             params.mis, params.gap, params.xdrop,
-                             interpret=jax.default_backend() != "tpu")
+    aligner = get_device_aligner()
+    aligner.interpret = jax.default_backend() != "tpu"
+    res = aligner(readset, q, t, sq, st, params.k, params.mat,
+                  params.mis, params.gap, params.xdrop)
     local = dict(local)
     jidx = jnp.asarray(sel)
     for f in ("score", "begQ", "endQ", "begT", "endT", "rc"):

@@ -64,9 +64,8 @@ def main():
 
     aligner = None
     if not args.cpu and jax.default_backend() != "cpu":
-        from elba_tpu.align.xdrop_pallas import align_batch_pallas
-        aligner = functools.partial(align_batch_pallas,
-                                    batch=args.align_batch)
+        from elba_tpu.align.xdrop_device import get_device_aligner
+        aligner = get_device_aligner(batch=args.align_batch)
 
     t0 = time.time()
     result = run_pipeline(args.prefix + ".fa", params, aligner=aligner,
