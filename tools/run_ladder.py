@@ -8,16 +8,29 @@ pipeline (on the TPU backend the alignment runs the fused Pallas kernel),
 and reports wall, phase breakdown, and assembly quality vs the known
 genome.
 
+Two execution modes:
+
+* default: one in-process `run_pipeline` call (fine on CPU or a stable
+  backend).
+* `--staged`: each device-heavy phase (counting+SpGEMM, alignment) runs in
+  its OWN subprocess with artifacts checkpointed to {prefix}.stage/, and
+  the orchestrator retries a phase when the tunneled TPU worker crashes
+  mid-run (observed repeatedly at this scale).  Alignment additionally
+  checkpoints every --align-ckpt pairs so a crash resumes mid-phase.
+  Artifacts double as restartable stage outputs (the reference's
+  equivalent is rerunning from its .mtx/.paf dumps).
+
 Usage:
   python tools/run_ladder.py [--genome 4600000] [--reads 17250]
                              [--read-len 8000] [--err 0.005] [--cpu]
+                             [--staged] [--retries 4]
 Prints one JSON line at the end; paste the markdown row into BASELINE.md.
 """
 
 import argparse
-import functools
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,8 +38,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 
-def main():
+
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome", type=int, default=4_600_000)
     ap.add_argument("--reads", type=int, default=17_250)
@@ -39,28 +54,260 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--prefix", default="/tmp/elba_ladder")
     ap.add_argument("--align-batch", type=int, default=512)
-    args = ap.parse_args()
+    ap.add_argument("--staged", action="store_true")
+    ap.add_argument("--stage", choices=["count", "align", "graph"],
+                    default=None, help="internal: run one stage")
+    ap.add_argument("--retries", type=int, default=4)
+    ap.add_argument("--align-ckpt", type=int, default=65536)
+    return ap.parse_args(argv)
 
+
+def _jax_setup(args):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    return jax
 
-    from tools.simulate import simulate
-    from tools.eval_assembly import evaluate
+
+def _params(args):
     from elba_tpu.params import PipelineParams
-    from elba_tpu.pipeline import run_pipeline
+    return PipelineParams(k=args.k, lower_freq=args.lower,
+                          upper_freq=args.upper,
+                          xdrop=args.xdrop, output_prefix=args.prefix)
 
+
+def _stagedir(args):
+    d = args.prefix + ".stage"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def ensure_fixture(args):
+    from tools.simulate import simulate
     t0 = time.time()
     if not os.path.exists(args.prefix + ".fa"):
         simulate(args.prefix, genome_len=args.genome, nreads=args.reads,
                  read_len=args.read_len, error=args.err, seed=30)
-    sim_s = time.time() - t0
+    return time.time() - t0
 
-    params = PipelineParams(k=args.k, lower_freq=args.lower,
-                            upper_freq=args.upper,
-                            xdrop=args.xdrop, output_prefix=args.prefix)
+
+# ---------------- stages (each runs in its own subprocess) ----------------
+
+
+def stage_count(args):
+    """Counting + SharedSeeds SpGEMM on device; saves B triples."""
+    jax = _jax_setup(args)
+    from elba_tpu.dseq.dna import load_fasta
+    from elba_tpu.kmers.count_device import count_device_raw
+    from elba_tpu.dsparse.seedmat_device import (spgemm_from_device_count,
+                                                 device_result_to_host)
+
+    params = _params(args)
+    d = _stagedir(args)
+    t0 = time.time()
+    readset = load_fasta(args.prefix + ".fa")
+    t_load = time.time() - t0
+
+    t0 = time.time()
+    count_res = count_device_raw(readset, params.k, params.lower_freq,
+                                 params.upper_freq)
+    nk, nnz = int(count_res["nk"]), int(count_res["nnz"])
+    t_count = time.time() - t0
+    print(f"[stage count] A: {nk} reliable k-mers, {nnz} instances "
+          f"({t_count:.1f}s)", flush=True)
+
+    t0 = time.time()
+    bres = spgemm_from_device_count(count_res, params.upper_freq,
+                                    min_shared=2, full=False)
+    host = device_result_to_host(bres, min_shared=2)
+    t_spgemm = time.time() - t0
+    print(f"[stage count] B: {len(host['q'])} candidate pairs "
+          f"({t_spgemm:.1f}s)", flush=True)
+    np.savez(os.path.join(d, "B.npz"), **host)
+    with open(os.path.join(d, "count.json"), "w") as f:
+        json.dump(dict(load_fasta=t_load, kmer_matrix=t_count,
+                       seed_matrix=t_spgemm, n_kmers=nk, a_nnz=nnz,
+                       b_nnz=len(host["q"])), f)
+
+
+def stage_align(args):
+    """Checkpointed alignment of B's pairs with the device aligner."""
+    jax = _jax_setup(args)
+    from elba_tpu.dseq.dna import load_fasta
+    from elba_tpu.align.xdrop_device import get_device_aligner
+    from elba_tpu.align.xdrop_jax import align_batch_jax
+
+    params = _params(args)
+    d = _stagedir(args)
+    B = np.load(os.path.join(d, "B.npz"))
+    qi, ti = B["q"].astype(np.int64), B["t"].astype(np.int64)
+    sel = qi < ti
+    qi, ti = qi[sel], ti[sel]
+    seedQ = B["seedQ0"][sel].astype(np.int32)
+    seedT = B["seedT0"][sel].astype(np.int32)
+    n = len(qi)
+
+    readset = load_fasta(args.prefix + ".fa")
+    on_tpu = jax.default_backend() != "cpu"
+    aligner = (get_device_aligner(batch=args.align_batch) if on_tpu
+               else align_batch_jax)
+
+    fields = ("score", "begQ", "endQ", "begT", "endT", "rc")
+    t0 = time.time()
+    done_parts = 0
+    for lo in range(0, n, args.align_ckpt):
+        part = os.path.join(d, f"R_part_{lo}.npz")
+        if os.path.exists(part):
+            done_parts += 1
+            continue
+        hi = min(lo + args.align_ckpt, n)
+        res = aligner(readset, qi[lo:hi], ti[lo:hi], seedQ[lo:hi],
+                      seedT[lo:hi], params.k, params.mat, params.mis,
+                      params.gap, params.xdrop)
+        np.savez(part, **{f: np.asarray(res[f]) for f in fields})
+        print(f"[stage align] {hi}/{n} pairs "
+              f"({(hi - lo) / max(time.time() - t0, 1e-9):.0f} pairs/s "
+              f"this run)", flush=True)
+        t0 = time.time()
+
+    # assemble parts into one R.npz
+    out = {f: [] for f in fields}
+    for lo in range(0, n, args.align_ckpt):
+        part = np.load(os.path.join(d, f"R_part_{lo}.npz"))
+        for f in fields:
+            out[f].append(part[f])
+    merged = {f: np.concatenate(out[f]) if out[f] else np.empty(0)
+              for f in fields}
+    np.savez(os.path.join(d, "R.npz"), q=qi, t=ti, seedQ=seedQ,
+             seedT=seedT, **merged)
+    with open(os.path.join(d, "align.json"), "w") as f:
+        json.dump(dict(pairs=n, resumed_parts=done_parts), f)
+
+
+def stage_graph(args):
+    """Host graph phase from the saved alignment results + eval."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from elba_tpu.dseq.dna import load_fasta
+    from elba_tpu.align.classify import classify_and_fill
+    from elba_tpu.dsparse.coo import COOMatrix
+    from elba_tpu.graph.prune import prune_overlap_graph
+    from elba_tpu.graph.tr import transitive_reduction
+    from elba_tpu.graph.contigs import generate_contigs
+    from elba_tpu.io.paf import write_paf
+    from elba_tpu.io.fasta_out import write_contigs_fasta
+    from tools.eval_assembly import evaluate
+
+    params = _params(args)
+    d = _stagedir(args)
+    R_ = np.load(os.path.join(d, "R.npz"))
+    readset = load_fasta(args.prefix + ".fa")
+
+    t0 = time.time()
+    qi = R_["q"].astype(np.int64)
+    ti = R_["t"].astype(np.int64)
+    lenQ = readset.lengths[qi - readset.start_id].astype(np.int32)
+    lenT = readset.lengths[ti - readset.start_id].astype(np.int32)
+    vals = classify_and_fill(R_["score"], R_["begQ"], R_["endQ"],
+                             R_["begT"], R_["endT"], R_["rc"], lenQ, lenT)
+    vals["seedQ"] = R_["seedQ"].astype(np.int32)
+    vals["seedT"] = R_["seedT"].astype(np.int32)
+    n = len(readset)
+    R = COOMatrix(rows=qi, cols=ti, vals=vals, shape=(n, n)).sorted()
+    write_paf(R, readset.names, params.output_prefix + ".overlap.paf")
+    Rp = prune_overlap_graph(R, params.bad_read_cutoff)
+    S = transitive_reduction(Rp)
+    write_paf(S, readset.names, params.output_prefix + ".string.paf")
+    contigs = generate_contigs(S, readset)
+    write_contigs_fasta(contigs, params.output_prefix + ".contigs.fa")
+    t_graph = time.time() - t0
+
+    stats = evaluate(params.output_prefix + ".contigs.fa",
+                     args.prefix + ".genome.fa", k=31)
+    with open(os.path.join(d, "graph.json"), "w") as f:
+        json.dump(dict(graph_seconds=t_graph, alignments=int(R.nnz),
+                       string_edges=int(S.nnz), contigs=len(contigs),
+                       genome_fraction=float(stats["genome_fraction"]),
+                       n50=int(stats["n50"])), f)
+
+
+def orchestrate(args):
+    """Run stages as subprocesses; retry on TPU worker crashes."""
+    sim_s = ensure_fixture(args)
+    d = _stagedir(args)
+    base = [sys.executable, os.path.abspath(__file__)]
+    fwd = []
+    for k, v in vars(args).items():
+        if k in ("staged", "stage", "retries"):
+            continue
+        flag = "--" + k.replace("_", "-")
+        if isinstance(v, bool):
+            if v:
+                fwd.append(flag)
+        elif v is not None:
+            fwd += [flag, str(v)]
+
+    wall0 = time.time()
+    times = {}
+    for stage, artifact in (("count", "B.npz"), ("align", "R.npz"),
+                            ("graph", "graph.json")):
+        if os.path.exists(os.path.join(d, artifact)) and stage != "graph":
+            print(f"[orchestrate] {stage}: artifact exists, skipping",
+                  flush=True)
+            continue
+        t0 = time.time()
+        for attempt in range(args.retries):
+            r = subprocess.run(base + fwd + ["--stage", stage])
+            if r.returncode == 0:
+                break
+            wait = 90 * (attempt + 1)
+            print(f"[orchestrate] stage {stage} failed "
+                  f"(rc={r.returncode}, attempt {attempt + 1}/"
+                  f"{args.retries}); retrying in {wait}s", flush=True)
+            time.sleep(wait)
+        else:
+            raise RuntimeError(f"stage {stage} failed after "
+                               f"{args.retries} attempts")
+        times[stage] = round(time.time() - t0, 1)
+
+    phases = {}
+    for name in ("count", "align", "graph"):
+        p = os.path.join(d, name + ".json")
+        if os.path.exists(p):
+            with open(p) as f:
+                phases[name] = json.load(f)
+    g = phases.get("graph", {})
+    out = dict(metric="ladder_e2e_seconds",
+               value=round(time.time() - wall0, 1), unit="s",
+               reads=args.reads, genome=args.genome,
+               alignments=g.get("alignments"),
+               string_edges=g.get("string_edges"),
+               contigs=g.get("contigs"),
+               genome_fraction=g.get("genome_fraction"),
+               n50=g.get("n50"),
+               stage_walls=times, phases=phases,
+               sim_seconds=round(sim_s, 1), staged=True)
+    print(json.dumps(out))
+
+
+def main():
+    args = parse_args()
+    if args.stage:
+        {"count": stage_count, "align": stage_align,
+         "graph": stage_graph}[args.stage](args)
+        return
+    if args.staged:
+        orchestrate(args)
+        return
+
+    jax = _jax_setup(args)
+    from elba_tpu.pipeline import run_pipeline
+    from tools.eval_assembly import evaluate
+
+    sim_s = ensure_fixture(args)
+    params = _params(args)
 
     aligner = None
     if not args.cpu and jax.default_backend() != "cpu":
