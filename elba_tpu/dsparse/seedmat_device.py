@@ -65,6 +65,12 @@ def _reduce_sorted(t, q, w, s0, s1):
     return head, wsum, s0, l1
 
 
+def _empty_state(out_cap: int):
+    z = lambda fill: jnp.full((out_cap,), fill, jnp.int32)
+    return (z(SENT), z(SENT), z(0), z(-1), z(-1),
+            jnp.int64(0))  # t, q, w, s0, s1, overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_inst", "out_cap", "min_shared", "full",
@@ -83,99 +89,157 @@ def _spgemm_device(rows, pos, gid, total_inst,
     Returns dict of accumulator arrays (t-major sorted, SENT-padded) and
     stats (nnz at min_shared, distinct pairs, overflow count).
     """
-    CI = chunk_inst
-    U = upper
-    offsets = (list(range(-(U - 1), U)) if full
-               else list(range(1, U)))
-    span = len(offsets)
-
-    def empty_state():
-        z = lambda fill: jnp.full((out_cap,), fill, jnp.int32)
-        return (z(SENT), z(SENT), z(0), z(-1), z(-1),
-                jnp.int64(0))  # t, q, w, s0, s1, overflow
-
-    def chunk_step(i, state):
-        bt, bq, bw, bs0, bs1, ovf = state
-        i0 = i * CI  # window start in the padded array (halo offset U-1)
-        rw = jax.lax.dynamic_slice(rows, (i0,), (CI + 2 * U,))
-        pw = jax.lax.dynamic_slice(pos, (i0,), (CI + 2 * U,))
-        gw = jax.lax.dynamic_slice(gid, (i0,), (CI + 2 * U,))
-        # center = slots [U-1, U-1+CI): instance a of each product
-        ca = U - 1
-        qi = rw[ca:ca + CI]
-        pq = pw[ca:ca + CI]
-        ga = gw[ca:ca + CI]
-        glob = i0 + jnp.arange(CI, dtype=jnp.int32)
-        in_range = glob < total_inst
-
-        tcols, scols, vcols = [], [], []
-        for o in offsets:
-            tj = rw[ca + o:ca + o + CI]
-            pt = pw[ca + o:ca + o + CI]
-            same = gw[ca + o:ca + o + CI] == ga
-            ok = same & in_range
-            if not full:
-                ok = ok & (qi < tj)
-            tcols.append(jnp.where(ok, tj, SENT))
-            scols.append((pq << PACK) | pt)
-            vcols.append(ok)
-        # [CI, span] i-major layout = the host's (kmer, a, b) canonical
-        # product order, preserved by the stable merges below
-        ct = jnp.stack(tcols, axis=1).reshape(-1)
-        cs = jnp.stack(scols, axis=1).reshape(-1)
-        cv = jnp.stack(vcols, axis=1).reshape(-1)
-        cq = jnp.where(cv, jnp.repeat(qi, span), SENT)
-        cw = cv.astype(jnp.int32)
-
-        # merge raw products into the sorted accumulator: buffer entries
-        # come FIRST in the concat so the stable sort preserves the
-        # canonical merge order (earlier products before later ones)
-        mt = jnp.concatenate([bt, ct])
-        mq = jnp.concatenate([bq, cq])
-        mw = jnp.concatenate([bw, cw])
-        m0 = jnp.concatenate([bs0, cs])
-        m1 = jnp.concatenate([bs1, cs])
-        mt, mq, mw, m0, m1 = jax.lax.sort(
-            (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
-
-        head, wsum, s0, s1 = _reduce_sorted(mt, mq, mw, m0, m1)
-
-        # compact the group heads back into the accumulator: stable sort
-        # by deadness keeps heads in key order (cheaper than 5 scatters)
-        dead = (~head).astype(jnp.int32)
-        _, nt, nq, nw, n0, n1 = jax.lax.sort(
-            (dead, mt, mq, wsum, s0, s1), num_keys=1, is_stable=True)
-        nheads = jnp.sum(head).astype(jnp.int64)
-        ovf = ovf + jnp.maximum(nheads - out_cap, 0)
-        new = (nt[:out_cap], nq[:out_cap], nw[:out_cap],
-               n0[:out_cap], n1[:out_cap])
-        # slots past the head count are stale survivors of the sort; mark
-        # them empty again
-        slot = jnp.arange(out_cap, dtype=jnp.int64)
-        alive = slot < nheads
-        new = (jnp.where(alive, new[0], SENT),
-               jnp.where(alive, new[1], SENT),
-               jnp.where(alive, new[2], 0),
-               jnp.where(alive, new[3], -1),
-               jnp.where(alive, new[4], -1))
-        return new + (ovf,)
-
-    nchunks = (total_inst + CI - 1) // CI
+    nchunks = (total_inst + chunk_inst - 1) // chunk_inst
 
     def cond(carry):
         return carry[0] < nchunks
 
     def body(carry):
         i, state = carry
-        return i + 1, chunk_step(i, state)
+        return i + 1, _chunk_step(rows, pos, gid, total_inst, i, state,
+                                  chunk_inst, out_cap, full, upper)
 
     _, state = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), empty_state()))
+        cond, body, (jnp.int32(0), _empty_state(out_cap)))
     bt, bq, bw, bs0, bs1, ovf = state
     nnz = jnp.sum((bt != SENT) & (bw >= min_shared))
     npairs = jnp.sum(bt != SENT)
     return dict(t=bt, q=bq, numshared=bw, s0=bs0, s1=bs1,
                 stats=dict(nnz=nnz, pairs=npairs, overflow=ovf))
+
+
+def _chunk_step(rows, pos, gid, total_inst, i, state,
+                chunk_inst: int, out_cap: int, full: bool, upper: int):
+    """Expand chunk i's semiring products and merge them into the sorted
+    fixed-capacity accumulator (shared by the one-dispatch program and the
+    multi-dispatch driver below)."""
+    CI = chunk_inst
+    U = upper
+    offsets = (list(range(-(U - 1), U)) if full
+               else list(range(1, U)))
+    span = len(offsets)
+    bt, bq, bw, bs0, bs1, ovf = state
+    i0 = i * CI  # window start in the padded array (halo offset U-1)
+    rw = jax.lax.dynamic_slice(rows, (i0,), (CI + 2 * U,))
+    pw = jax.lax.dynamic_slice(pos, (i0,), (CI + 2 * U,))
+    gw = jax.lax.dynamic_slice(gid, (i0,), (CI + 2 * U,))
+    # center = slots [U-1, U-1+CI): instance a of each product
+    ca = U - 1
+    qi = rw[ca:ca + CI]
+    pq = pw[ca:ca + CI]
+    ga = gw[ca:ca + CI]
+    glob = i0 + jnp.arange(CI, dtype=jnp.int32)
+    in_range = glob < total_inst
+
+    tcols, scols, vcols = [], [], []
+    for o in offsets:
+        tj = rw[ca + o:ca + o + CI]
+        pt = pw[ca + o:ca + o + CI]
+        same = gw[ca + o:ca + o + CI] == ga
+        ok = same & in_range
+        if not full:
+            ok = ok & (qi < tj)
+        tcols.append(jnp.where(ok, tj, SENT))
+        scols.append((pq << PACK) | pt)
+        vcols.append(ok)
+    # [CI, span] i-major layout = the host's (kmer, a, b) canonical
+    # product order, preserved by the stable merges below
+    ct = jnp.stack(tcols, axis=1).reshape(-1)
+    cs = jnp.stack(scols, axis=1).reshape(-1)
+    cv = jnp.stack(vcols, axis=1).reshape(-1)
+    cq = jnp.where(cv, jnp.repeat(qi, span), SENT)
+    cw = cv.astype(jnp.int32)
+
+    # merge raw products into the sorted accumulator: buffer entries
+    # come FIRST in the concat so the stable sort preserves the
+    # canonical merge order (earlier products before later ones)
+    mt = jnp.concatenate([bt, ct])
+    mq = jnp.concatenate([bq, cq])
+    mw = jnp.concatenate([bw, cw])
+    m0 = jnp.concatenate([bs0, cs])
+    m1 = jnp.concatenate([bs1, cs])
+    mt, mq, mw, m0, m1 = jax.lax.sort(
+        (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
+
+    head, wsum, s0, s1 = _reduce_sorted(mt, mq, mw, m0, m1)
+
+    # compact the group heads back into the accumulator: stable sort
+    # by deadness keeps heads in key order (cheaper than 5 scatters)
+    dead = (~head).astype(jnp.int32)
+    _, nt, nq, nw, n0, n1 = jax.lax.sort(
+        (dead, mt, mq, wsum, s0, s1), num_keys=1, is_stable=True)
+    nheads = jnp.sum(head).astype(jnp.int64)
+    ovf = ovf + jnp.maximum(nheads - out_cap, 0)
+    new = (nt[:out_cap], nq[:out_cap], nw[:out_cap],
+           n0[:out_cap], n1[:out_cap])
+    # slots past the head count are stale survivors of the sort; mark
+    # them empty again
+    slot = jnp.arange(out_cap, dtype=jnp.int64)
+    alive = slot < nheads
+    new = (jnp.where(alive, new[0], SENT),
+           jnp.where(alive, new[1], SENT),
+           jnp.where(alive, new[2], 0),
+           jnp.where(alive, new[3], -1),
+           jnp.where(alive, new[4], -1))
+    return new + (ovf,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_inst", "out_cap", "full", "upper", "steps"),
+    donate_argnums=(5,))
+def _spgemm_stage(rows, pos, gid, total_inst, start, state,
+                  chunk_inst: int, out_cap: int, full: bool, upper: int,
+                  steps: int):
+    """Run `steps` chunks starting at chunk index `start`, carrying the
+    device-resident accumulator state across dispatches.  Splitting the
+    multiply into several SHORT dispatches keeps each remote execution
+    brief (long single executions through the tunnel are crash-prone) and
+    makes the multiply checkpointable mid-run."""
+    nchunks = (total_inst + chunk_inst - 1) // chunk_inst
+
+    def cond(carry):
+        i, _ = carry
+        return (i < start + steps) & (i < nchunks)
+
+    def body(carry):
+        i, st = carry
+        return i + 1, _chunk_step(rows, pos, gid, total_inst, i, st,
+                                  chunk_inst, out_cap, full, upper)
+
+    _, state = jax.lax.while_loop(cond, body, (start, state))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("min_shared",))
+def _finalize_state(state, min_shared: int):
+    bt, bq, bw, bs0, bs1, ovf = state
+    nnz = jnp.sum((bt != SENT) & (bw >= min_shared))
+    npairs = jnp.sum(bt != SENT)
+    return dict(t=bt, q=bq, numshared=bw, s0=bs0, s1=bs1,
+                stats=dict(nnz=nnz, pairs=npairs, overflow=ovf))
+
+
+def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
+                out_cap: int, min_shared: int, full: bool, upper: int,
+                stage_chunks: int = 0, total_chunks: int = 0):
+    """Dispatch policy wrapper: stage_chunks == 0 runs the whole multiply
+    as one XLA program (`_spgemm_device`); stage_chunks > 0 runs it as a
+    host loop of short `_spgemm_stage` dispatches with the accumulator
+    left on device between them."""
+    if stage_chunks <= 0:
+        return _spgemm_device(rows, pos, gid, total_inst,
+                              chunk_inst=chunk_inst, out_cap=out_cap,
+                              min_shared=min_shared, full=full, upper=upper)
+    state = _empty_state(out_cap)
+    start = 0
+    while start < total_chunks:
+        state = _spgemm_stage(rows, pos, gid, total_inst,
+                              jnp.int32(start), state,
+                              chunk_inst=chunk_inst, out_cap=out_cap,
+                              full=full, upper=upper, steps=stage_chunks)
+        start += stage_chunks
+    return _finalize_state(state, min_shared=min_shared)
 
 
 def _pow2(x: int) -> int:
@@ -220,7 +284,7 @@ def upload_kmer_matrix(A: KmerMatrix, upper: int = 0,
 def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
                              full: bool = True, chunk_inst: int = 0,
                              out_cap: int = 0, max_retries: int = 3,
-                             upper: int = 0):
+                             upper: int = 0, stage_chunks: int = 0):
     """Device-resident B = A A^T.  Returns (result, total_products) where
     result holds compacted device arrays (t-major order; slots with
     t == SENT empty) plus a 'stats' dict.  Accumulator overflow triggers a
@@ -240,11 +304,13 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
         # distinct pairs are usually << products; a capped default keeps
         # the per-chunk merge small and the retry loop covers undershoot
         out_cap = _pow2(max(min(4 * A.nnz, 1 << 24), 1 << 14))
+    nchunks = max(-(-A.nnz // chunk_inst), 1)
     for _ in range(max_retries):
-        res = _spgemm_device(dev["rows"], dev["pos"], dev["gid"],
-                             dev["total_inst"],
-                             chunk_inst=chunk_inst, out_cap=out_cap,
-                             min_shared=min_shared, full=full, upper=upper)
+        res = _run_spgemm(dev["rows"], dev["pos"], dev["gid"],
+                          dev["total_inst"],
+                          chunk_inst=chunk_inst, out_cap=out_cap,
+                          min_shared=min_shared, full=full, upper=upper,
+                          stage_chunks=stage_chunks, total_chunks=nchunks)
         if int(res["stats"]["overflow"]) == 0:
             return res, total
         out_cap *= 2
@@ -271,7 +337,7 @@ def _relayout_from_count(rid, pos, rank, nnz, upper: int, npad: int):
 
 def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
                              full: bool = False, out_cap: int = 0,
-                             max_retries: int = 3):
+                             max_retries: int = 3, stage_chunks: int = 0):
     """Chained device path: counting result -> SpGEMM without fetching the
     instance arrays to the host.  Returns the device B result dict."""
     assert upper <= 256
@@ -287,10 +353,14 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
     total_inst = count_res["nnz"].astype(jnp.int32)
     if out_cap == 0:
         out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
+    # live chunk count for the staged host loop (one tiny scalar fetch)
+    nchunks = max(-(-int(count_res["nnz"]) // CI), 1) if stage_chunks \
+        else nchunks_max
     for _ in range(max_retries):
-        res = _spgemm_device(rows, pos_p, gid_p, total_inst,
-                             chunk_inst=CI, out_cap=out_cap,
-                             min_shared=min_shared, full=full, upper=upper)
+        res = _run_spgemm(rows, pos_p, gid_p, total_inst,
+                          chunk_inst=CI, out_cap=out_cap,
+                          min_shared=min_shared, full=full, upper=upper,
+                          stage_chunks=stage_chunks, total_chunks=nchunks)
         if int(res["stats"]["overflow"]) == 0:
             return res
         out_cap *= 2

@@ -143,6 +143,17 @@ def test_device_seedmat_overflow_retry(rng):
     assert len(got["q"]) == host.nnz
 
 
+def test_device_seedmat_staged_dispatch_matches_host(rng):
+    """stage_chunks > 0 splits the multiply into several short dispatches
+    with device-resident state (tunnel crash resilience); the result must
+    be identical to the single-dispatch program."""
+    rs = _motif_readset(rng, nreads=16)
+    A = build_kmer_matrix(rs, 7, 2, 10)
+    host = build_seed_matrix(A, min_shared=2, full=True).mat
+    _compare_device_vs_host(A, host, chunk_inst=64, stage_chunks=1)
+    _compare_device_vs_host(A, host, chunk_inst=64, stage_chunks=3)
+
+
 def test_device_seedmat_beyond_int32_keyspace(rng):
     """Read-id space with n^2 >= 2^31 (the round-1 cap) must work: ids are
     sorted as two int32 columns, never composed into one key."""

@@ -119,8 +119,11 @@ def stage_count(args):
           f"({t_count:.1f}s)", flush=True)
 
     t0 = time.time()
+    # staged dispatches: each remote execution stays short (long single
+    # executions through the tunnel are crash-prone at this scale)
     bres = spgemm_from_device_count(count_res, params.upper_freq,
-                                    min_shared=2, full=False)
+                                    min_shared=2, full=False,
+                                    stage_chunks=2)
     host = device_result_to_host(bres, min_shared=2)
     t_spgemm = time.time() - t0
     print(f"[stage count] B: {len(host['q'])} candidate pairs "
