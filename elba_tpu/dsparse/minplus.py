@@ -35,47 +35,55 @@ def minplus_spgemm(P: COOMatrix, R: COOMatrix) -> COOMatrix:
 
     pdir = P.vals["direction"]
     rdir = R.vals["direction"]
-    psel = np.flatnonzero(pdir != -1)
-    rsel = np.flatnonzero(rdir != -1)
     empty = COOMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
                       dict(suffix_paths=np.zeros((0, 4), np.int64),
                            direction=np.zeros(0, np.int8),
                            suffix=np.zeros(0, np.int64)),
                       P.shape)
-    if len(psel) == 0 or len(rsel) == 0:
+
+    def _join(psel, rsel):
+        """Expand psel x rsel products joined on middle vertex (left
+        grouped by column, right by row).  Returns (i, j, slot, val)."""
+        z = np.zeros(0, np.int64)
+        if len(psel) == 0 or len(rsel) == 0:
+            return z, z, z, z
+        lorder = psel[np.argsort(P.cols[psel], kind="stable")]
+        rorder = rsel[np.argsort(R.rows[rsel], kind="stable")]
+        lcounts = np.bincount(P.cols[lorder], minlength=n)
+        rcounts = np.bincount(R.rows[rorder], minlength=n)
+        lstarts = np.concatenate([[0], np.cumsum(lcounts)[:-1]])
+        rstarts = np.concatenate([[0], np.cumsum(rcounts)[:-1]])
+        li, ri = expand_join_products(lstarts, lcounts, rstarts, rcounts)
+        if len(li) == 0:
+            return z, z, z, z
+        li = lorder[li]
+        ri = rorder[ri]
+        t1 = (pdir[li].astype(np.int64) >> 1) & 1
+        h2 = rdir[ri].astype(np.int64) & 1
+        slot = 2 * t1 + h2
+        val = P.vals["suffix"][li].astype(np.int64) + \
+            R.vals["suffix"][ri].astype(np.int64)
+        return P.rows[li], R.cols[ri], slot, val
+
+    # the composition is valid iff t2 != h1, so pre-partition the (small)
+    # edge lists by those bits and expand only the two valid combinations
+    # -- half the products of a full cross join, and no O(products)
+    # direction gathers or validity filter.  Product ORDER differs from a
+    # canonical full join, which is safe: the only reduction is an
+    # order-independent elementwise min (np.minimum.at below).
+    h1 = pdir & 1
+    t2 = (rdir >> 1) & 1
+    pv, rv = pdir != -1, rdir != -1
+    parts = [_join(np.flatnonzero(pv & (h1 == 0)),
+                   np.flatnonzero(rv & (t2 == 1))),
+             _join(np.flatnonzero(pv & (h1 == 1)),
+                   np.flatnonzero(rv & (t2 == 0)))]
+    i = np.concatenate([p[0] for p in parts])
+    j = np.concatenate([p[1] for p in parts])
+    slot = np.concatenate([p[2] for p in parts])
+    val = np.concatenate([p[3] for p in parts])
+    if len(i) == 0:
         return empty
-
-    # left side grouped by column (middle vertex), right side by row
-    lorder = psel[np.argsort(P.cols[psel], kind="stable")]
-    rorder = rsel[np.argsort(R.rows[rsel], kind="stable")]
-    lk = P.cols[lorder]
-    rk = R.rows[rorder]
-    lcounts = np.bincount(lk, minlength=n)
-    rcounts = np.bincount(rk, minlength=n)
-    lstarts = np.concatenate([[0], np.cumsum(lcounts)[:-1]])
-    rstarts = np.concatenate([[0], np.cumsum(rcounts)[:-1]])
-
-    li, ri = expand_join_products(lstarts, lcounts, rstarts, rcounts)
-    if len(li) == 0:
-        return empty
-    li = lorder[li]
-    ri = rorder[ri]
-
-    d1 = pdir[li].astype(np.int64)
-    d2 = rdir[ri].astype(np.int64)
-    t1, h1 = (d1 >> 1) & 1, d1 & 1
-    t2, h2 = (d2 >> 1) & 1, d2 & 1
-    valid = t2 != h1
-    li, ri = li[valid], ri[valid]
-    t1, h2 = t1[valid], h2[valid]
-    if len(li) == 0:
-        return empty
-
-    slot = (2 * t1 + h2).astype(np.int64)
-    val = P.vals["suffix"][li].astype(np.int64) + \
-        R.vals["suffix"][ri].astype(np.int64)
-    i = P.rows[li]
-    j = R.cols[ri]
 
     key = j * nrows + i
     order = np.argsort(key, kind="stable")

@@ -47,37 +47,61 @@ SENT = np.int32(2**31 - 1)  # sentinel (q, t) for empty slots; sorts last
 PACK = 15                   # position packing: s = (pq << PACK) | pt
 
 
-def _reduce_sorted(t, q, w, s0, s1):
-    """SharedSeeds add over a (t, q)-sorted run: per group, summed count,
-    first element's first seed, last element's last seed.  Values are
-    valid AT HEAD POSITIONS only (the only survivors of the compaction).
+def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int):
+    """SharedSeeds add over the (t, q)-sorted merge array + compaction of
+    the group heads into the fixed accumulator.  Per group: summed count,
+    first element's first seed (the head's own s0), last element's last
+    seed (the tail's own s1).
 
-    One flipped segmented associative scan replaces the earlier
-    segment_sum/segment_max + [gid] gathers: on v5e a 33M-element segment
-    op costs ~0.4s and a gather ~0.5s, while an associative scan is
-    ~0.03s, so the reduction drops from ~1.8s to ~0.1s per 33M slots."""
+    The reduction is gather/segment-op/scan-free -- those are the v5e's
+    expensive or compile-heavy primitives (segment op ~0.4s + [gid]
+    gather ~0.5s per 33M; a tuple associative_scan compiles for >30 min
+    at 33M).  Instead:
+
+    * group count at head h = excl[next head] - excl[h] where excl is the
+      EXCLUSIVE int32 prefix sum of w.  The prefix may wrap past 2^31
+      (total products exceed int32 at genome scale) but neighboring-head
+      differences are exact modulo 2^32 because every true group sum is
+      tiny, so plain wrapping int32 cumsum (XLA's cheap path) suffices.
+    * fold-last seed of the group at head h = s1 of the element JUST
+      BEFORE the next head = roll-right(s1) read at the next head.
+    * "next head" values come for free after compaction: heads are
+      contiguous, so the next compacted SLOT is the next head; the final
+      live slot instead takes the global total / the last live element's
+      s1 (one scalar dynamic read).
+
+    Returns (nheads int64, compacted (t, q, w, s0, s1))."""
     bound = jnp.concatenate(
-        [jnp.ones(1, bool), (t[1:] != t[:-1]) | (q[1:] != q[:-1])])
-    tail = jnp.concatenate([bound[1:], jnp.ones(1, bool)])
-    # right-to-left segmented scan = flip + forward scan resetting at
-    # group tails: at each position, the w-sum over [p, tail(p)] and the
-    # max of tail-masked s1 (== the tail element's own s1; live seeds are
-    # always >= 0).  At a head position those are the group's full count
-    # and fold-last seed.
-    vf = jnp.flip(w)
-    mf = jnp.flip(jnp.where(tail, s1, -1))
-    ff = jnp.flip(tail)
+        [jnp.ones(1, bool), (mt[1:] != mt[:-1]) | (mq[1:] != mq[:-1])])
+    head = bound & (mt != SENT)
+    csum = jnp.cumsum(mw)                 # int32, wraps by design
+    excl = csum - mw
+    s1prev = jnp.concatenate([m1[:1], m1[:-1]])  # [0] never read
 
-    def op(a, b):
-        sa, ma, fa = a
-        sb, mb, fb = b
-        return (sb + jnp.where(fb, 0, sa),
-                jnp.where(fb, mb, jnp.maximum(ma, mb)),
-                fa | fb)
+    # compact the group heads to the front: non-head slots get
+    # (SENT, SENT) keys so a stable 2-key re-sort moves them to the back
+    # while keeping heads in (t, q) order (live read ids are < SENT)
+    nt, nq, nex, n0, n1p = jax.lax.sort(
+        (jnp.where(head, mt, SENT), jnp.where(head, mq, SENT),
+         excl, m0, s1prev), num_keys=2, is_stable=True)
+    nt, nq, nex = nt[:out_cap], nq[:out_cap], nex[:out_cap]
+    n0, n1p = n0[:out_cap], n1p[:out_cap]
 
-    ssum, smax, _ = jax.lax.associative_scan(op, (vf, mf, ff))
-    head = bound & (t != SENT)
-    return head, jnp.flip(ssum), s0, jnp.flip(smax)
+    nheads = jnp.sum(head).astype(jnp.int64)
+    nlive = jnp.sum(mt != SENT)
+    slot = jnp.arange(out_cap, dtype=jnp.int64)
+    is_last = slot == nheads - 1
+    # slicing to out_cap before the rolls is safe: slot nheads-1 is
+    # overridden by is_last, slots past nheads are dead, and when
+    # nheads > out_cap the whole result is discarded by the caller's
+    # overflow retry
+    nxt_ex = jnp.concatenate([nex[1:], nex[:1]])
+    nxt_s1 = jnp.concatenate([n1p[1:], n1p[:1]])
+    last_s1 = jax.lax.dynamic_index_in_dim(
+        m1, jnp.maximum(nlive - 1, 0), keepdims=False)
+    nw = jnp.where(is_last, csum[-1], nxt_ex) - nex
+    n1 = jnp.where(is_last, last_s1, nxt_s1)
+    return nheads, (nt, nq, nw, n0, n1)
 
 
 def _empty_state(out_cap: int):
@@ -176,20 +200,8 @@ def _chunk_step(rows, pos, gid, total_inst, i, state,
     mt, mq, mw, m0, m1 = jax.lax.sort(
         (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
 
-    head, wsum, s0, s1 = _reduce_sorted(mt, mq, mw, m0, m1)
-
-    # compact the group heads back into the accumulator: non-head slots
-    # get (SENT, SENT) keys so a stable 2-key re-sort moves them to the
-    # back while keeping heads in (t, q) order (live read ids are always
-    # < SENT) -- one array cheaper than a separate dead-flag key, and far
-    # cheaper than 5 scatters
-    nt, nq, nw, n0, n1 = jax.lax.sort(
-        (jnp.where(head, mt, SENT), jnp.where(head, mq, SENT),
-         wsum, s0, s1), num_keys=2, is_stable=True)
-    nheads = jnp.sum(head).astype(jnp.int64)
+    nheads, new = _reduce_compact(mt, mq, mw, m0, m1, out_cap)
     ovf = ovf + jnp.maximum(nheads - out_cap, 0)
-    new = (nt[:out_cap], nq[:out_cap], nw[:out_cap],
-           n0[:out_cap], n1[:out_cap])
     # slots past the head count are stale survivors of the sort; mark
     # them empty again
     slot = jnp.arange(out_cap, dtype=jnp.int64)

@@ -43,36 +43,26 @@ def segment_starts_counts(boundaries: np.ndarray):
 def expand_cross_products(starts: np.ndarray, counts: np.ndarray):
     """For groups of sizes c_g over a sorted array, produce index pairs
     (li, ri) enumerating, for every group, all c_g^2 ordered pairs of
-    elements.  Pair t within group g has a = local//c, b = local%c, so pairs
-    are emitted in row-major order (stable downstream ordering).
+    elements in row-major order (a-major, b-minor; stable downstream
+    ordering).
 
     Host-side sizing, device-friendly output (pure numpy here; small
     bookkeeping arrays are fine on host, the big gathers happen on device).
     """
-    counts = counts.astype(np.int64)
-    sizes = counts * counts
-    total = int(sizes.sum())
-    if total == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z
-    gcum = np.cumsum(sizes)
-    t = np.arange(total, dtype=np.int64)
-    grp = np.searchsorted(gcum, t, side="right")
-    local = t - (gcum[grp] - sizes[grp])
-    c = counts[grp]
-    a = local // c
-    b = local % c
-    li = starts[grp] + a
-    ri = starts[grp] + b
-    return li, ri
+    return expand_join_products(starts, counts, starts, counts)
 
 
 def expand_join_products(lstarts: np.ndarray, lcounts: np.ndarray,
                          rstarts: np.ndarray, rcounts: np.ndarray):
-    """Like expand_cross_products but joining two sorted arrays over shared
-    keys: group g contributes lcounts[g] * rcounts[g] pairs (li from left,
-    ri from right).  The caller is responsible for aligning the group lists
-    (same key order, zero counts for keys absent on one side)."""
+    """Joining two sorted arrays over shared keys: group g contributes
+    lcounts[g] * rcounts[g] pairs (li from left, ri from right), emitted
+    (g, a)-major / b-minor.  The caller is responsible for aligning the
+    group lists (same key order, zero counts for keys absent on one side).
+
+    Enumeration is run-length decode (scatter ones + cumsum + gather):
+    np.repeat with array counts runs at ~2.6M elem/s on small hosts
+    (per-group memcpy overhead) and per-element searchsorted + // are
+    worse still, while plain gathers run at ~165M elem/s."""
     lcounts = lcounts.astype(np.int64)
     rcounts = rcounts.astype(np.int64)
     sizes = lcounts * rcounts
@@ -80,13 +70,30 @@ def expand_join_products(lstarts: np.ndarray, lcounts: np.ndarray,
     if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    gcum = np.cumsum(sizes)
+    # drop groups with no products so every decoded run is non-empty
+    # (run starts are then strictly increasing -- plain marker stores)
+    act = np.flatnonzero(sizes)
+    lc, rc = lcounts[act], rcounts[act]
+    ls, rs = np.asarray(lstarts)[act], np.asarray(rstarts)[act]
+
+    def ids_from_counts(counts, n):
+        """(ids, starts): index of the owning run per output position,
+        for all-positive run lengths summing to n."""
+        starts = np.cumsum(counts) - counts
+        marker = np.zeros(n, np.int64)
+        marker[starts] = 1
+        return np.cumsum(marker) - 1, starts
+
+    # one block per (group, a): decode group ids over the block space
+    nblk = int(lc.sum())
+    gid, gstarts = ids_from_counts(lc, nblk)
+    blk = np.arange(nblk, dtype=np.int64)
+    lrow = ls[gid] + (blk - gstarts[gid])
+    rc_blk = rc[gid]
+    rs_blk = rs[gid]
+    # expand each block over b = 0..rc-1: decode block ids over products
+    bid, bstarts = ids_from_counts(rc_blk, total)
     t = np.arange(total, dtype=np.int64)
-    grp = np.searchsorted(gcum, t, side="right")
-    local = t - (gcum[grp] - sizes[grp])
-    rc = rcounts[grp]
-    a = local // rc
-    b = local % rc
-    li = lstarts[grp] + a
-    ri = rstarts[grp] + b
+    li = lrow[bid]
+    ri = rs_blk[bid] + (t - bstarts[bid])
     return li, ri
