@@ -78,26 +78,42 @@ def _align(x):
 
 def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             sc_ref, pack_ref):
-    """v2: two-level loop with an all-vector inner antidiagonal loop.
+    """v3: two-level loop with an all-vector inner antidiagonal loop.
 
     The v1 kernel re-sliced each item's sequence windows and updated SMEM
     scalars EVERY antidiagonal -- 8 serial scalar sections per iteration
-    dominated the runtime.  v2 keeps every piece of per-item state as
-    [SUB, 1] vector lanes and the sequence rows in registers:
+    dominated the runtime.  v2 moved every piece of per-item state into
+    [SUB, 1] vector lanes and the sequence rows into registers:
 
     * qreg [SUB, WWIN]: query codes for columns [base, base+WWIN)
     * treg [SUB, TWR]:  target codes pre-rolled so lane l holds the code
       for column base+l at the current antidiagonal; advancing one
       antidiagonal is a STATIC roll by +1 (the target index drifts by
       exactly one per antidiagonal)
-    * band re-anchor stays the v1 select-over-static-shifts
 
-    The inner while_loop therefore runs pure vector ops.  It exits when an
-    item's band leaves its registers (base advance or treg roll budget
-    exhausted); the outer loop then refetches JUST that item's registers
-    with scalar dynamic slices (guarded per item), checks window
-    exhaustion (pause), and resumes.  Outer trips happen every ~100+
-    antidiagonals per item instead of every antidiagonal."""
+    v3 strips the remaining per-antidiagonal fat (~30% of the substep's
+    vector ops):
+
+    * band re-anchoring (the select-over-static-shifts of a1/a2) moves to
+      the outer loop: a nonzero shift coincides with the needf exit, so
+      shifting once per outer trip is equivalent and the common-case
+      substep pays two plain selects instead of ~30 ops;
+    * best-extension tracking (the reference's "last cell whose score
+      beats the running best" quirk, XDropAligner.cpp:132-138) no longer
+      reduces across lanes every antidiagonal.  Each lane records its
+      latest qualifying event (antidiagonal number + score); because
+      antidiagonal numbers are strictly monotone, the per-item champion
+      (adn, col, score) can be folded in at outer trips and once at the
+      end -- later events always beat earlier ones, and within one
+      antidiagonal the highest lane wins, exactly the reference's scan
+      order.
+
+    The inner while_loop exits when an item's band leaves its registers
+    (base advance or treg roll budget exhausted); the outer loop folds
+    champions, re-anchors, refetches JUST that item's registers with
+    scalar dynamic slices (guarded per item), checks window exhaustion
+    (pause), and resumes.  Outer trips happen every ~100+ antidiagonals
+    per item instead of every antidiagonal."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     rown = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
@@ -121,13 +137,17 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
     xc0 = jnp.where(res, col(P_XC0), 2)
     hi30 = jnp.where(res, col(P_HI3), 1)
     best0 = jnp.where(res, col(P_BEST0), 0)
-    bec0 = jnp.where(res, col(P_BEC0), 0)
-    ber0 = jnp.where(res, col(P_BER0), 0)
-    bes0 = jnp.where(res, col(P_BES0), 0)
+    # champion = the best-extension event (bec, ber, bes) in merged form
+    # (adn = ber + bec is the event's antidiagonal; monotone, so any later
+    # event strictly beats it)
+    cadn0 = jnp.where(res, col(P_BEC0) + col(P_BER0), 0)
+    cc0 = jnp.where(res, col(P_BEC0), 0)
+    cbes0 = jnp.where(res, col(P_BES0), 0)
     adn0 = col(P_DELTA) + 2
     act0 = col(P_ACTIVE) * jnp.where(
         (colsv > 1) & (rowsv > 1) & (mc0 < xc0), 1, 0)
     ovf0 = jnp.zeros((SUB, 1), jnp.int32)
+    base0 = (mc0 - 1) // BANDW * BANDW
 
     # fresh: antidiag 0 = {col0: 0}; antidiag 1 = {col0,1: init_cell};
     # resumed: the saved windows
@@ -143,6 +163,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
     qreg0 = jnp.zeros((SUB, WWIN), jnp.int32)
     treg0 = jnp.zeros((SUB, TWR), jnp.int32)
     zc = jnp.zeros((SUB, 1), jnp.int32)
+    noev = jnp.full((SUB, WWIN), -1, jnp.int32)
 
     def inner_cond(cy):
         act, needf = cy[8], cy[12]
@@ -160,12 +181,15 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         return cy
 
     def _substep(cy):
-        (adn, mc, xc, hi3, best, bec, ber, bes, act, ovf, offt5, base,
-         needf, a1, a2, qreg, treg) = cy
+        (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5, base,
+         needf, a1, a2, qreg, treg, ladn, lbes) = cy
         actb = (act > 0) & (needf == 0)
         l3 = mc - 1
         c = base + lane
-        inner_m = (c >= mc) & (c < xc)
+        cltxc = c < xc
+        cgemc = c >= mc
+        inner_m = cgemc & cltxc
+        bd = best - dropv
 
         # +-1 column offsets as a static lane roll (lane 0 wraps: col
         # base-1 is never live because min_col-1 >= base)
@@ -175,46 +199,43 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
 
         sub = jnp.where(qreg == trow, matv, misv)
         temp = jnp.maximum(jnp.maximum(a2m1, a2) + gapv, a1m1 + sub)
-        live = temp >= best - dropv
+        live = temp >= bd
         cell = jnp.where(live & inner_m, temp, undefv)
 
         gval = adn * gapv
-        bcond = gval > best - dropv
+        bcond = gval > bd
         b0 = jnp.where(bcond & (l3 == 0), gval, undefv)
         b1 = jnp.where(bcond & (adn == xc), gval, undefv)
+        ceqxc = c == xc
         ad3 = jnp.where(c == l3, b0, cell)
-        ad3 = jnp.where(c == xc, b1, ad3)
+        ad3 = jnp.where(ceqxc, b1, ad3)
 
-        ad_best = jnp.maximum(
-            gval,
-            jnp.max(jnp.where(inner_m & live, temp, NEG_BIG), axis=1,
-                    keepdims=True))
-
-        # best-extension update: LAST column in scan order whose score
-        # beats the previous global best (reference quirk, :132-138)
+        # best-extension events: LAST column in scan order whose score
+        # beats the previous global best (reference quirk, :132-138).
+        # Recorded per lane; folded into the champion at outer trips.
+        # (upd cells satisfy temp > best >= best - dropoff, so they are a
+        # subset of the live cells for any dropoff >= 0.)
         upd = inner_m & (temp > best)
-        lastc = jnp.max(jnp.where(upd, c, -1), axis=1, keepdims=True)
-        last_temp = jnp.max(jnp.where(upd & (c == lastc), temp, NEG_BIG),
-                            axis=1, keepdims=True)
+        maxupd = jnp.max(jnp.where(upd, temp, NEG_BIG), axis=1,
+                         keepdims=True)
+        upd2 = upd & actb
+        ladn_n = jnp.where(upd2, adn, ladn)
+        lbes_n = jnp.where(upd2, temp, lbes)
 
         # ---- band scans (advance / retract), reference :143-155 ----------
-        keep = (c <= xc) & (ad3 == undefv) & \
+        keep = (cltxc | ceqxc) & (ad3 == undefv) & \
             (c - 1 <= hi3) & (a2m1 == undefv)
-        stop = (~keep) & (c >= mc)
+        stop = (~keep) & cgemc
         first_stop = jnp.min(jnp.where(stop, c, 2**30), axis=1,
                              keepdims=True)
 
-        okd = (c >= l3) & (c <= xc - 1) & \
-            ((ad3 != undefv) | (a2 != undefv))
+        okd = (c >= l3) & cltxc & ((ad3 != undefv) | (a2 != undefv))
         dmax = jnp.max(jnp.where(okd, c, l3 - 1), axis=1, keepdims=True)
         ovf_now = jnp.where(xc - l3 + 1 > BANDW, 1, 0)
 
-        # ---- state update (vector selects replace v1's scalar section) ---
-        hit = actb & (lastc >= 0)
-        bec_n = jnp.where(hit, lastc, bec)
-        ber_n = jnp.where(hit, adn - lastc, ber)
-        bes_n = jnp.where(hit, last_temp, bes)
-        best_n = jnp.where(actb, jnp.maximum(best, ad_best), best)
+        # ---- state update (all [SUB, 1] selects) --------------------------
+        best_n = jnp.where(
+            actb, jnp.maximum(best, jnp.maximum(gval, maxupd)), best)
         hi3_n = jnp.where(actb, xc, hi3)
         new_min0 = jnp.maximum(jnp.minimum(first_stop, xc + 1), mc)
         new_max0 = jnp.maximum(dmax + 1, l3) + 1
@@ -227,11 +248,61 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             actb, jnp.where((new_min < new_max) & (ovf_n == 0), 1, 0), act)
         adn_n = jnp.where(actb, adn + 1, adn)
 
-        # ---- re-anchor the register band to the next window base ---------
-        # delta = base_next - base in {0, 128, 256} (min_col can advance at
-        # most to hi3+1 <= base+256+1)
-        nbase = (mc_n - 1) // BANDW * BANDW
-        delta = jnp.where(actb, nbase - base, 0)
+        # frozen (inactive/paused) items keep their windows for state_out
+        a1_n = jnp.where(actb, a2, a1)
+        a2_n = jnp.where(actb, ad3, a2)
+        treg_n = jnp.where(actb, pltpu.roll(treg, 1, 1), treg)
+        offt5_n = jnp.where(actb, offt5 - 1, offt5)
+
+        # exit to the outer loop when a still-active item's registers no
+        # longer cover its band (query base advanced past the 128-aligned
+        # anchor / target roll budget exhausted); items frozen earlier in
+        # the unroll group keep their pending flag
+        needf_n = jnp.where(
+            actb,
+            jnp.where((act_n > 0) & ((mc_n - base > BANDW)
+                                     | (offt5_n <= 0)), 1, 0),
+            needf)
+
+        return (adn_n, mc_n, xc_n, hi3_n, best_n, cadn, cc, cbes,
+                act_n, ovf_n, offt5_n, base, needf_n, a1_n, a2_n,
+                qreg, treg_n, ladn_n, lbes_n)
+
+    def merge_champ(cadn, cc, cbes, ladn, lbes, base):
+        """Fold the per-lane event registers into the per-item champion.
+        Every recorded event is strictly newer (higher adn) than the
+        current champion, and within one antidiagonal the reference's
+        column-scan order keeps the highest column -- so take the max-adn
+        lane, highest lane on ties."""
+        m_adn = jnp.max(ladn, axis=1, keepdims=True)
+        has = m_adn >= 0
+        at = ladn == m_adn
+        m_cl = jnp.max(jnp.where(at, lane, -1), axis=1, keepdims=True)
+        m_bes = jnp.max(jnp.where(at & (lane == m_cl), lbes, NEG_BIG),
+                        axis=1, keepdims=True)
+        cadn = jnp.where(has, m_adn, cadn)
+        cc = jnp.where(has, base + m_cl, cc)
+        cbes = jnp.where(has, m_bes, cbes)
+        return cadn, cc, cbes
+
+    def outer_cond(cy):
+        return jnp.sum(cy[8]) > 0
+
+    def outer_body(cy):
+        (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5, base,
+         needf, a1, a2, qreg, treg, ladn, lbes) = cy
+
+        # fold best-extension events (recorded against the OLD base) into
+        # the champions, then clear the event registers
+        cadn, cc, cbes = merge_champ(cadn, cc, cbes, ladn, lbes, base)
+        ladn, lbes = noev, lbes
+
+        # re-anchor the band registers to the advanced 128-aligned base
+        # (v2 did this inline every substep; a nonzero shift coincides
+        # with the needf exit, so once per outer trip is equivalent)
+        nbase = (mc - 1) // BANDW * BANDW
+        refm = (act > 0) & (needf > 0)
+        delta = jnp.where(refm, nbase - base, 0)
 
         def shift(x, d):
             rolled = pltpu.roll(x, WWIN - d, 1)
@@ -241,32 +312,9 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
             out = jnp.where(delta == 128, shift(x, 128), x)
             return jnp.where(delta == 256, shift(x, 256), out)
 
-        # frozen (inactive/paused) items keep their windows for state_out
-        a1_n = jnp.where(actb, reanchor(a2), a1)
-        a2_n = jnp.where(actb, reanchor(ad3), a2)
-        base_n = jnp.where(actb, nbase, base)
-        treg_n = jnp.where(actb, pltpu.roll(treg, 1, 1), treg)
-        offt5_n = jnp.where(actb, offt5 - 1, offt5)
-
-        # exit to the outer loop when a still-active item's registers no
-        # longer cover its band (query base advanced / target roll budget
-        # exhausted); items frozen earlier in the unroll group keep their
-        # pending flag
-        needf_n = jnp.where(
-            actb,
-            jnp.where((act_n > 0) & ((delta != 0) | (offt5_n <= 0)), 1, 0),
-            needf)
-
-        return (adn_n, mc_n, xc_n, hi3_n, best_n, bec_n, ber_n, bes_n,
-                act_n, ovf_n, offt5_n, base_n, needf_n, a1_n, a2_n,
-                qreg, treg_n)
-
-    def outer_cond(cy):
-        return jnp.sum(cy[8]) > 0
-
-    def outer_body(cy):
-        (adn, mc, xc, hi3, best, bec, ber, bes, act, ovf, offt5, base,
-         needf, a1, a2, qreg, treg) = cy
+        a1 = reanchor(a1)
+        a2 = reanchor(a2)
+        base = jnp.where(refm, nbase, base)
 
         # vector state -> scalars via a VMEM bounce (scalar VMEM stores are
         # illegal in Mosaic; scalar loads are fine)
@@ -327,15 +375,23 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
 
         return jax.lax.while_loop(
             inner_cond, inner_body,
-            (adn, mc, xc, hi3, best, bec, ber, bes, act, ovf, offt5,
-             base, needf, a1, a2, qreg, treg))
+            (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5,
+             base, needf, a1, a2, qreg, treg, ladn, lbes))
 
     final = jax.lax.while_loop(
         outer_cond, outer_body,
-        (adn0, mc0, xc0, hi30, best0, bec0, ber0, bes0, act0, ovf0,
-         zc, zc, act0, a1_0, a2_0, qreg0, treg0))
-    (adn_f, mc_f, xc_f, hi3_f, best_f, bec_f, ber_f, bes_f, _, ovf_f,
-     _, _, _, a1_f, a2_f, _, _) = final
+        (adn0, mc0, xc0, hi30, best0, cadn0, cc0, cbes0, act0, ovf0,
+         zc, base0, act0, a1_0, a2_0, qreg0, treg0, noev,
+         jnp.zeros((SUB, WWIN), jnp.int32)))
+    (adn_f, mc_f, xc_f, hi3_f, best_f, cadn_f, cc_f, cbes_f, _, ovf_f,
+     _, base_f, _, a1_f, a2_f, _, _, ladn_f, lbes_f) = final
+
+    # events recorded since the last outer-trip fold
+    cadn_f, cc_f, cbes_f = merge_champ(cadn_f, cc_f, cbes_f, ladn_f,
+                                       lbes_f, base_f)
+    bec_f = cc_f
+    ber_f = cadn_f - cc_f
+    bes_f = cbes_f
 
     # ---- emit outputs + continuation state --------------------------------
     st_out_ref[:, 0, :] = a1_f
