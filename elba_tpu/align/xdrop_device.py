@@ -314,10 +314,19 @@ class DeviceAligner:
         qidx = (np.asarray(qi) - s0).astype(np.int32)
         tidx = (np.asarray(ti) - s0).astype(np.int32)
 
-        # big pairs first is irrelevant; sort so same-size pairs batch
-        # together (homogeneous batches finish sooner end-to-end)
-        pairlen = lens[qidx] + lens[tidx]
-        order = np.argsort(pairlen, kind="stable")
+        # batch pairs whose EXTENSION work is similar: kernel blocks of
+        # SUB items run in lockstep, so homogeneous batches waste fewer
+        # frozen iterations and pause in the same continuation round.
+        # The proxy is the largest seed-to-read-end extent (read length
+        # alone is blind to where the seed sits -- at uniform read length
+        # it degenerates to no sort at all).
+        lq = lens[qidx].astype(np.int64)
+        lt = lens[tidx].astype(np.int64)
+        sq = np.asarray(seedQ, np.int64)
+        st_ = np.asarray(seedT, np.int64)
+        work = np.maximum(np.maximum(sq, lq - sq),
+                          np.maximum(st_, lt - st_))
+        order = np.argsort(work, kind="stable")
 
         results = []   # (sel, device result) — fetched after all dispatch
         with jax.enable_x64(False):

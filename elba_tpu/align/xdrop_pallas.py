@@ -50,8 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8        # items per grid step (int32 sublane tile)
-UNROLL = 8     # antidiagonals per inner while iteration (overhead amortization)
+SUB = 16       # items per grid step (int32 sublane tile)
+UNROLL = 16    # antidiagonals per inner while iteration (overhead amortization)
 BANDW = 128    # live-band capacity in lanes
 WWIN = 2 * BANDW
 TWR = 5 * BANDW  # target register width (rolls 1 lane per antidiagonal)
@@ -595,7 +595,7 @@ def xdrop_pairs_pallas(q, t, lenQ, lenT, begQ, begT, k, mat, mis, gap,
     # size shares one compiled kernel -- a new shape costs a full remote
     # Mosaic compile (tens of minutes for the unrolled kernel), while a
     # padded (inactive) item block exits its while loop immediately
-    npad = max(16, 1 << int(np.ceil(np.log2(max(n_items, 1)))))
+    npad = max(SUB, 1 << int(np.ceil(np.log2(max(n_items, 1)))))
     rounds = 0
     while len(live) > 0 and rounds < 64:
         rounds += 1

@@ -47,7 +47,8 @@ SENT = np.int32(2**31 - 1)  # sentinel (q, t) for empty slots; sorts last
 PACK = 15                   # position packing: s = (pq << PACK) | pt
 
 
-def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int):
+def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int,
+                    two_seeds: bool = True):
     """SharedSeeds add over the (t, q)-sorted merge array + compaction of
     the group heads into the fixed accumulator.  Per group: summed count,
     first element's first seed (the head's own s0), last element's last
@@ -70,22 +71,34 @@ def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int):
       live slot instead takes the global total / the last live element's
       s1 (one scalar dynamic read).
 
+    With two_seeds=False the fold-last seed is skipped: one payload fewer
+    in the head-compaction sort (and the caller skips it in the merge
+    sort), ~15% off the whole multiply; s1 then mirrors s0.  Use when the
+    consumer only reads seeds[0] (as the reference's aligner does,
+    PairwiseAlignment.cpp:90).
+
     Returns (nheads int64, compacted (t, q, w, s0, s1))."""
     bound = jnp.concatenate(
         [jnp.ones(1, bool), (mt[1:] != mt[:-1]) | (mq[1:] != mq[:-1])])
     head = bound & (mt != SENT)
     csum = jnp.cumsum(mw)                 # int32, wraps by design
     excl = csum - mw
-    s1prev = jnp.concatenate([m1[:1], m1[:-1]])  # [0] never read
 
     # compact the group heads to the front: non-head slots get
     # (SENT, SENT) keys so a stable 2-key re-sort moves them to the back
     # while keeping heads in (t, q) order (live read ids are < SENT)
-    nt, nq, nex, n0, n1p = jax.lax.sort(
-        (jnp.where(head, mt, SENT), jnp.where(head, mq, SENT),
-         excl, m0, s1prev), num_keys=2, is_stable=True)
+    if two_seeds:
+        s1prev = jnp.concatenate([m1[:1], m1[:-1]])  # [0] never read
+        nt, nq, nex, n0, n1p = jax.lax.sort(
+            (jnp.where(head, mt, SENT), jnp.where(head, mq, SENT),
+             excl, m0, s1prev), num_keys=2, is_stable=True)
+        n1p = n1p[:out_cap]
+    else:
+        nt, nq, nex, n0 = jax.lax.sort(
+            (jnp.where(head, mt, SENT), jnp.where(head, mq, SENT),
+             excl, m0), num_keys=2, is_stable=True)
     nt, nq, nex = nt[:out_cap], nq[:out_cap], nex[:out_cap]
-    n0, n1p = n0[:out_cap], n1p[:out_cap]
+    n0 = n0[:out_cap]
 
     nheads = jnp.sum(head).astype(jnp.int64)
     nlive = jnp.sum(mt != SENT)
@@ -96,11 +109,14 @@ def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int):
     # nheads > out_cap the whole result is discarded by the caller's
     # overflow retry
     nxt_ex = jnp.concatenate([nex[1:], nex[:1]])
-    nxt_s1 = jnp.concatenate([n1p[1:], n1p[:1]])
-    last_s1 = jax.lax.dynamic_index_in_dim(
-        m1, jnp.maximum(nlive - 1, 0), keepdims=False)
     nw = jnp.where(is_last, csum[-1], nxt_ex) - nex
-    n1 = jnp.where(is_last, last_s1, nxt_s1)
+    if two_seeds:
+        nxt_s1 = jnp.concatenate([n1p[1:], n1p[:1]])
+        last_s1 = jax.lax.dynamic_index_in_dim(
+            m1, jnp.maximum(nlive - 1, 0), keepdims=False)
+        n1 = jnp.where(is_last, last_s1, nxt_s1)
+    else:
+        n1 = n0
     return nheads, (nt, nq, nw, n0, n1)
 
 
@@ -113,10 +129,10 @@ def _empty_state(out_cap: int):
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_inst", "out_cap", "min_shared", "full",
-                     "upper"))
+                     "upper", "two_seeds"))
 def _spgemm_device(rows, pos, gid, total_inst,
                    chunk_inst: int, out_cap: int, min_shared: int,
-                   full: bool, upper: int):
+                   full: bool, upper: int, two_seeds: bool = True):
     """The full chunked multiply as one XLA program.
 
     rows/pos: int32[pad] instance arrays sorted by k-mer group, with a
@@ -136,7 +152,8 @@ def _spgemm_device(rows, pos, gid, total_inst,
     def body(carry):
         i, state = carry
         return i + 1, _chunk_step(rows, pos, gid, total_inst, i, state,
-                                  chunk_inst, out_cap, full, upper)
+                                  chunk_inst, out_cap, full, upper,
+                                  two_seeds)
 
     _, state = jax.lax.while_loop(
         cond, body, (jnp.int32(0), _empty_state(out_cap)))
@@ -148,7 +165,8 @@ def _spgemm_device(rows, pos, gid, total_inst,
 
 
 def _chunk_step(rows, pos, gid, total_inst, i, state,
-                chunk_inst: int, out_cap: int, full: bool, upper: int):
+                chunk_inst: int, out_cap: int, full: bool, upper: int,
+                two_seeds: bool = True):
     """Expand chunk i's semiring products and merge them into the sorted
     fixed-capacity accumulator (shared by the one-dispatch program and the
     multi-dispatch driver below)."""
@@ -196,11 +214,16 @@ def _chunk_step(rows, pos, gid, total_inst, i, state,
     mq = jnp.concatenate([bq, cq])
     mw = jnp.concatenate([bw, cw])
     m0 = jnp.concatenate([bs0, cs])
-    m1 = jnp.concatenate([bs1, cs])
-    mt, mq, mw, m0, m1 = jax.lax.sort(
-        (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
+    if two_seeds:
+        m1 = jnp.concatenate([bs1, cs])
+        mt, mq, mw, m0, m1 = jax.lax.sort(
+            (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
+    else:
+        m1 = None
+        mt, mq, mw, m0 = jax.lax.sort(
+            (mt, mq, mw, m0), num_keys=2, is_stable=True)
 
-    nheads, new = _reduce_compact(mt, mq, mw, m0, m1, out_cap)
+    nheads, new = _reduce_compact(mt, mq, mw, m0, m1, out_cap, two_seeds)
     ovf = ovf + jnp.maximum(nheads - out_cap, 0)
     # slots past the head count are stale survivors of the sort; mark
     # them empty again
@@ -216,11 +239,12 @@ def _chunk_step(rows, pos, gid, total_inst, i, state,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_inst", "out_cap", "full", "upper", "steps"),
+    static_argnames=("chunk_inst", "out_cap", "full", "upper", "steps",
+                     "two_seeds"),
     donate_argnums=(5,))
 def _spgemm_stage(rows, pos, gid, total_inst, start, state,
                   chunk_inst: int, out_cap: int, full: bool, upper: int,
-                  steps: int):
+                  steps: int, two_seeds: bool = True):
     """Run `steps` chunks starting at chunk index `start`, carrying the
     device-resident accumulator state across dispatches.  Splitting the
     multiply into several SHORT dispatches keeps each remote execution
@@ -235,7 +259,8 @@ def _spgemm_stage(rows, pos, gid, total_inst, start, state,
     def body(carry):
         i, st = carry
         return i + 1, _chunk_step(rows, pos, gid, total_inst, i, st,
-                                  chunk_inst, out_cap, full, upper)
+                                  chunk_inst, out_cap, full, upper,
+                                  two_seeds)
 
     _, state = jax.lax.while_loop(cond, body, (start, state))
     return state
@@ -252,7 +277,8 @@ def _finalize_state(state, min_shared: int):
 
 def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
                 out_cap: int, min_shared: int, full: bool, upper: int,
-                stage_chunks: int = 0, total_chunks: int = 0):
+                stage_chunks: int = 0, total_chunks: int = 0,
+                two_seeds: bool = True):
     """Dispatch policy wrapper: stage_chunks == 0 runs the whole multiply
     as one XLA program (`_spgemm_device`); stage_chunks > 0 runs it as a
     host loop of short `_spgemm_stage` dispatches with the accumulator
@@ -260,14 +286,16 @@ def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
     if stage_chunks <= 0:
         return _spgemm_device(rows, pos, gid, total_inst,
                               chunk_inst=chunk_inst, out_cap=out_cap,
-                              min_shared=min_shared, full=full, upper=upper)
+                              min_shared=min_shared, full=full, upper=upper,
+                              two_seeds=two_seeds)
     state = _empty_state(out_cap)
     start = 0
     while start < total_chunks:
         state = _spgemm_stage(rows, pos, gid, total_inst,
                               jnp.int32(start), state,
                               chunk_inst=chunk_inst, out_cap=out_cap,
-                              full=full, upper=upper, steps=stage_chunks)
+                              full=full, upper=upper, steps=stage_chunks,
+                              two_seeds=two_seeds)
         start += stage_chunks
     return _finalize_state(state, min_shared=min_shared)
 
@@ -367,9 +395,12 @@ def _relayout_from_count(rid, pos, rank, nnz, upper: int, npad: int):
 
 def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
                              full: bool = False, out_cap: int = 0,
-                             max_retries: int = 3, stage_chunks: int = 0):
+                             max_retries: int = 3, stage_chunks: int = 0,
+                             two_seeds: bool = True):
     """Chained device path: counting result -> SpGEMM without fetching the
-    instance arrays to the host.  Returns the device B result dict."""
+    instance arrays to the host.  Returns the device B result dict.
+    two_seeds=False skips the fold-last seed payload in the hot sorts
+    (s1 mirrors s0) -- use when only seeds[0] is consumed downstream."""
     assert upper <= 256
     N = int(count_res["rid"].shape[0])
     span = max(2 * upper - 1 if full else upper - 1, 1)
@@ -390,7 +421,8 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
         res = _run_spgemm(rows, pos_p, gid_p, total_inst,
                           chunk_inst=CI, out_cap=out_cap,
                           min_shared=min_shared, full=full, upper=upper,
-                          stage_chunks=stage_chunks, total_chunks=nchunks)
+                          stage_chunks=stage_chunks, total_chunks=nchunks,
+                          two_seeds=two_seeds)
         if int(res["stats"]["overflow"]) == 0:
             return res
         out_cap *= 2

@@ -231,3 +231,27 @@ def test_chained_device_count_spgemm_matches_host(rng):
     assert np.array_equal(B.mat.cols, host.mat.cols)
     for f in host.mat.vals:
         assert np.array_equal(B.mat.vals[f], host.mat.vals[f]), f
+
+
+def test_chained_device_spgemm_two_seeds_false(rng):
+    """two_seeds=False (the ladder's perf path) must match the host chain
+    on everything except the fold-last seed, which mirrors seed 0."""
+    from elba_tpu.dsparse.seedmat import seed_matrix_from_device_result
+    from elba_tpu.dsparse.seedmat_device import spgemm_from_device_count
+    from elba_tpu.kmers.count_device import count_device_raw
+
+    rs = _motif_readset(rng, nreads=14)
+    A = build_kmer_matrix(rs, 7, 2, 8)
+    host = build_seed_matrix(A, min_shared=2, full=False)
+
+    cres = count_device_raw(rs, 7, 2, 8)
+    bres = spgemm_from_device_count(cres, upper=8, min_shared=2,
+                                    full=False, two_seeds=False,
+                                    stage_chunks=2)
+    B = seed_matrix_from_device_result(bres, len(rs))
+    assert np.array_equal(B.mat.rows, host.mat.rows)
+    assert np.array_equal(B.mat.cols, host.mat.cols)
+    for f in ("numshared", "seedQ0", "seedT0"):
+        assert np.array_equal(B.mat.vals[f], host.mat.vals[f]), f
+    assert np.array_equal(B.mat.vals["seedQ1"], B.mat.vals["seedQ0"])
+    assert np.array_equal(B.mat.vals["seedT1"], B.mat.vals["seedT0"])

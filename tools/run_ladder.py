@@ -121,9 +121,12 @@ def stage_count(args):
     t0 = time.time()
     # staged dispatches: each remote execution stays short (long single
     # executions through the tunnel are crash-prone at this scale)
+    # two_seeds=False: the alignment stage reads only seedQ0/seedT0 (as the
+    # reference aligner does, PairwiseAlignment.cpp:90), so the fold-last
+    # seed payload is skipped in the multiply's hot sorts
     bres = spgemm_from_device_count(count_res, params.upper_freq,
                                     min_shared=2, full=False,
-                                    stage_chunks=2)
+                                    stage_chunks=2, two_seeds=False)
     host = device_result_to_host(bres, min_shared=2)
     t_spgemm = time.time() - t0
     print(f"[stage count] B: {len(host['q'])} candidate pairs "
