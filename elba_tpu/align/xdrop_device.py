@@ -123,9 +123,12 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     init_cell = jnp.where(-g_ > dropv, undef, g_)
 
     # work-sorted item order: kernel blocks of SUB items run in lockstep,
-    # so homogeneous blocks waste fewer iterations
+    # so homogeneous blocks waste fewer iterations.  min(cols, rows)
+    # estimates the TRUE extension length (a genuine dovetail overlap
+    # extends until the shorter remaining sequence ends); max() is only
+    # an upper bound and mixes short true extensions into long blocks
     live0 = jnp.repeat(seed_ok, 2)
-    work = jnp.where(live0, maxcr, 0)
+    work = jnp.where(live0, jnp.minimum(cols, rows), 0)
     order = jnp.argsort(work, stable=True).astype(i32)
 
     def g(x):
@@ -317,15 +320,23 @@ class DeviceAligner:
         # batch pairs whose EXTENSION work is similar: kernel blocks of
         # SUB items run in lockstep, so homogeneous batches waste fewer
         # frozen iterations and pause in the same continuation round.
-        # The proxy is the largest seed-to-read-end extent (read length
-        # alone is blind to where the seed sits -- at uniform read length
-        # it degenerates to no sort at all).
+        # The proxy is the TRUE dovetail-extension estimate from the seed
+        # geometry -- left extension min(begQ, begT') plus right extension
+        # min of the seed-to-end remainders, on the strand the kernel will
+        # pick (same midpoint-base rule, XDropAligner.cpp:248).  Read
+        # length alone degenerates at uniform read length; seed-to-end
+        # UPPER bounds mix short true extensions into long blocks.
         lq = lens[qidx].astype(np.int64)
         lt = lens[tidx].astype(np.int64)
         sq = np.asarray(seedQ, np.int64)
         st_ = np.asarray(seedT, np.int64)
-        work = np.maximum(np.maximum(sq, lq - sq),
-                          np.maximum(st_, lt - st_))
+        offs = readset.offsets
+        k2 = int(k) >> 1
+        qmid = readset.codes[offs[qidx] + np.minimum(sq + k2, lq - 1)]
+        tmid = readset.codes[offs[tidx] + np.minimum(st_ + k2, lt - 1)]
+        st_eff = np.where(qmid != tmid, lt - st_ - int(k), st_)
+        work = np.minimum(sq, st_eff) + \
+            np.minimum(lq - sq, lt - st_eff)
         order = np.argsort(work, kind="stable")
 
         results = []   # (sel, device result) — fetched after all dispatch
