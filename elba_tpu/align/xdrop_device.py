@@ -148,23 +148,46 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     lenT_i = lenT[pair_s]
     rc_i = rc[pair_s]
 
+    def rows_of(starts, width: int):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(codes, (s,), (width,)))(starts)
+
     def build_windows(qoffs, toffs):
         """QS[j] = q_item[qoff + j - 1]; TSR[j] = t_item[tanch - toff - j].
           left : q_item[x] = q[begQ-1-x],  t_item[x] = t_eff[begT_s-1-x]
-          right: q_item[x] = q[endQ+x],    t_item[x] = t_eff[endT_s+x]"""
-        xs = qoffs[:, None] + jnp.arange(QW, dtype=i32)[None, :] - 1
-        src_q = jnp.where(isl_s[:, None], begQ_s[:, None] - 1 - xs,
-                          endQ_i[:, None] + xs)
-        qw = codes[offQ_i[:, None]
-                   + jnp.clip(src_q, 0, lenQ_i[:, None] - 1)].astype(i32)
-        xt = tanch_s[:, None] - (toffs[:, None]
-                                 + jnp.arange(TW, dtype=i32)[None, :])
-        src_t = jnp.where(isl_s[:, None], begTs_i[:, None] - 1 - xt,
-                          endTs_i[:, None] + xt)
-        p = jnp.clip(src_t, 0, lenT_i[:, None] - 1)
-        fwd = codes[offT_i[:, None] + p].astype(i32)
-        rev = 3 - codes[offT_i[:, None] + (lenT_i[:, None] - 1 - p)].astype(i32)
-        tw = jnp.where(rc_i[:, None], rev, fwd)
+          right: q_item[x] = q[endQ+x],    t_item[x] = t_eff[endT_s+x]
+
+        Every window is a CONTIGUOUS run of the flat code array up to a
+        reversal and a complement, so it is fetched as a gather of
+        (1, width) slices and flipped/complemented per item afterwards --
+        the elementwise-gather formulation measured 2x slower on real
+        coverage-shuffled pairs (random fine-grained HBM reads) while the
+        kernel's substep counts were identical.  The code array carries
+        WINPAD zero slack on both ends so no slice start ever clamps
+        (per-item overhang beyond a read is <= max(QW, TW + 386); see
+        DeviceAligner._upload).  Out-of-sequence lanes hold neighbor/pad
+        codes instead of the old edge-clamped codes: the kernel's band
+        bounds (new_min >= adn+2-rows, new_max <= cols) keep every
+        semantically consumed cell in-sequence, so results are identical
+        (asserted bit-for-bit by tests/test_xdrop_device.py)."""
+        start_q = jnp.where(isl_s, offQ_i + begQ_s - qoffs - (QW - 1),
+                            offQ_i + endQ_i + qoffs - 1)
+        qrows = rows_of(start_q, QW)
+        qw = jnp.where(isl_s[:, None], jnp.flip(qrows, 1), qrows)
+
+        # target slice start by (is_left, rc); s0/s1_0 are the local
+        # source indices at window lane 0 of the ascending/descending runs
+        s0 = begTs_i - 1 - tanch_s + toffs
+        s1_0 = endTs_i + tanch_s - toffs
+        start_t = jnp.where(
+            isl_s,
+            jnp.where(rc_i, offT_i + lenT_i - TW - s0, offT_i + s0),
+            jnp.where(rc_i, offT_i + lenT_i - 1 - s1_0,
+                      offT_i + s1_0 - (TW - 1)))
+        trows = rows_of(start_t, TW)
+        flip_t = isl_s == rc_i
+        trows = jnp.where(flip_t[:, None], jnp.flip(trows, 1), trows)
+        tw = jnp.where(rc_i[:, None], 3 - trows, trows)
         return qw.astype(jnp.int8), tw.astype(jnp.int8)
 
     def loop_cond(cy):
@@ -172,7 +195,7 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
         return jnp.any(live) & (rnd < MAX_ROUNDS)
 
     def loop_body(cy):
-        final, saved, resume, qoffs, toffs, live, state, rnd = cy
+        final, saved, resume, qoffs, toffs, live, state, rnd, ctrs = cy
         qw, tw = build_windows(qoffs, toffs)
 
         par = jnp.zeros((nitems, 128), i32)
@@ -209,8 +232,13 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
         qoffs = jnp.where(paused, base_p, qoffs)
         tb_p = (tanch_s - out[:, O_ADN] + 1 + base_p) // 128 * 128
         toffs = jnp.where(paused, _wtoff(tb_p), toffs)
+        # diagnostic totals: kernel inner iterations / outer trips, summed
+        # over rounds (per-block values appear SUB times each)
+        from .xdrop_pallas import O_ITERS, O_TRIPS
+        ctrs = ctrs + jnp.array([jnp.sum(out[:, O_ITERS]),
+                                 jnp.sum(out[:, O_TRIPS])], jnp.int32)
         return (final, saved, resume, qoffs, toffs, paused, st_out,
-                rnd + 1)
+                rnd + 1, ctrs)
 
     tb0 = (tanch_s - 1) // 128 * 128
     init = (
@@ -222,8 +250,9 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
         live_s,                                  # live
         jnp.zeros((nitems, 2, WWIN), i32),       # continuation state
         jnp.zeros((), i32),                      # round
+        jnp.zeros(2, i32),                       # iters/trips totals
     )
-    final, _, _, _, _, live_end, _, _ = jax.lax.while_loop(
+    final, _, _, _, _, live_end, _, _, ctrs = jax.lax.while_loop(
         loop_cond, loop_body, init)
 
     # un-permute back to [left, right] pair interleave
@@ -252,6 +281,14 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
         (seed_ok & rc).astype(i32),
         (seed_ok & ovf).astype(i32),
         seed_ok.astype(i32),
+        # diagnostic: total antidiagonals actually run (both items) --
+        # the kernel's true work unit, for scheduling/throughput analysis
+        fin[0::2, O_ADN] + fin[1::2, O_ADN],
+        # diagnostic scalars (same value in every row): kernel inner
+        # iterations and outer refetch trips summed over all rounds and
+        # blocks (x SUB, since per-block counters repeat per item row)
+        jnp.full(P, ctrs[0], i32),
+        jnp.full(P, ctrs[1], i32),
     ], axis=1)
 
 
@@ -289,13 +326,18 @@ class DeviceAligner:
         if self._key == key:
             return
         codes = readset.codes
+        # WINPAD zero slack on both ends lets the window builder fetch
+        # contiguous slices without ever clamping a slice start (window
+        # overhang past a read is bounded by max(QW, TW + 386))
+        winpad = QW + TW
+        tail = winpad + ((-(len(codes) + 2 * winpad)) % 128)
+        codes = np.concatenate([np.zeros(winpad, np.uint8), codes,
+                                np.zeros(tail, np.uint8)])
         assert codes.size < 2 ** 31, "flat code array must fit int32 indexing"
-        pad = (-len(codes)) % 128
-        if pad:
-            codes = np.concatenate([codes, np.zeros(pad, np.uint8)])
         self._dev = dict(
             codes=jax.device_put(codes.astype(np.int8)),
-            offsets=jax.device_put(readset.offsets.astype(np.int32)),
+            offsets=jax.device_put(
+                (readset.offsets + winpad).astype(np.int32)),
             lengths=jax.device_put(readset.lengths.astype(np.int32)),
         )
         self._key = key

@@ -52,6 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 16       # items per grid step (int32 sublane tile)
 UNROLL = 16    # antidiagonals per inner while iteration (overhead amortization)
+REFETCH_BATCH = 6  # items waiting on a register refetch before the block
+                   # leaves the inner loop (frozen items idle, exactly)
 BANDW = 128    # live-band capacity in lanes
 WWIN = 2 * BANDW
 TWR = 5 * BANDW  # target register width (rolls 1 lane per antidiagonal)
@@ -69,7 +71,7 @@ DONE, PAUSED = 0, 1
 (S_STATUS, S_PAUSE) = range(2)
 # output columns
 (O_BES, O_BEC, O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3, O_BEST,
- O_ADN) = range(10)
+ O_ADN, O_ITERS, O_TRIPS) = range(12)
 
 
 def _align(x):
@@ -166,8 +168,17 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
     noev = jnp.full((SUB, WWIN), -1, jnp.int32)
 
     def inner_cond(cy):
+        """Exit to the outer (refetch) loop only when REFETCH_BATCH items
+        are waiting, or every still-active item is.  A frozen item is
+        merely idle -- its state is gated -- so batching refetches is
+        exact.  With one exit per item event (v3.0), blocks of real-data
+        items with independent refetch phases tripped ~SUB times more
+        often than the per-item cadence and the outer-trip cost doubled
+        the kernel time; identical-geometry synthetic items hid this by
+        aligning their events."""
         act, needf = cy[8], cy[12]
-        return (jnp.sum(act) > 0) & (jnp.sum(needf) == 0)
+        na, nf = jnp.sum(act), jnp.sum(needf)
+        return (na > 0) & (nf < REFETCH_BATCH) & (nf < na)
 
     def inner_body(cy):
         """UNROLL antidiagonals per while iteration: an empty Mosaic
@@ -178,11 +189,11 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         wasted frozen slots are a few percent)."""
         for _ in range(UNROLL):
             cy = _substep(cy)
-        return cy
+        return cy[:19] + (cy[19] + 1, cy[20])
 
     def _substep(cy):
         (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5, base,
-         needf, a1, a2, qreg, treg, ladn, lbes) = cy
+         needf, a1, a2, qreg, treg, ladn, lbes, iters, trips) = cy
         actb = (act > 0) & (needf == 0)
         l3 = mc - 1
         c = base + lane
@@ -266,7 +277,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
 
         return (adn_n, mc_n, xc_n, hi3_n, best_n, cadn, cc, cbes,
                 act_n, ovf_n, offt5_n, base, needf_n, a1_n, a2_n,
-                qreg, treg_n, ladn_n, lbes_n)
+                qreg, treg_n, ladn_n, lbes_n, iters, trips)
 
     def merge_champ(cadn, cc, cbes, ladn, lbes, base):
         """Fold the per-lane event registers into the per-item champion.
@@ -290,7 +301,7 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
 
     def outer_body(cy):
         (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5, base,
-         needf, a1, a2, qreg, treg, ladn, lbes) = cy
+         needf, a1, a2, qreg, treg, ladn, lbes, iters, trips) = cy
 
         # fold best-extension events (recorded against the OLD base) into
         # the champions, then clear the event registers
@@ -376,15 +387,16 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
         return jax.lax.while_loop(
             inner_cond, inner_body,
             (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5,
-             base, needf, a1, a2, qreg, treg, ladn, lbes))
+             base, needf, a1, a2, qreg, treg, ladn, lbes, iters, trips))
 
     final = jax.lax.while_loop(
         outer_cond, outer_body,
         (adn0, mc0, xc0, hi30, best0, cadn0, cc0, cbes0, act0, ovf0,
          zc, base0, act0, a1_0, a2_0, qreg0, treg0, noev,
-         jnp.zeros((SUB, WWIN), jnp.int32)))
+         jnp.zeros((SUB, WWIN), jnp.int32), zc, zc))
     (adn_f, mc_f, xc_f, hi3_f, best_f, cadn_f, cc_f, cbes_f, _, ovf_f,
-     _, base_f, _, a1_f, a2_f, _, _, ladn_f, lbes_f) = final
+     _, base_f, _, a1_f, a2_f, _, _, ladn_f, lbes_f, iters_f,
+     trips_f) = final
 
     # events recorded since the last outer-trip fold
     cadn_f, cc_f, cbes_f = merge_champ(cadn_f, cc_f, cbes_f, ladn_f,
@@ -409,6 +421,8 @@ def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
     v = jnp.where(lane128 == O_HI3, hi3_f, v)
     v = jnp.where(lane128 == O_BEST, best_f, v)
     v = jnp.where(lane128 == O_ADN, adn_f, v)
+    v = jnp.where(lane128 == O_ITERS, iters_f, v)
+    v = jnp.where(lane128 == O_TRIPS, trips_f, v)
     out_ref[:, :] = v
 
 
