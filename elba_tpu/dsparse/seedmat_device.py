@@ -430,6 +430,59 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
         f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
 
 
+def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
+                            full: bool = False, out_cap: int = 0,
+                            max_retries: int = 3, stage_chunks: int = 0,
+                            two_seeds: bool = True):
+    """Chained device SpGEMM over MULTI-PASS counting results
+    (kmers.count_chunked.iter_count_parts): the accumulator state carries
+    across parts, so total instance memory is bounded by ONE part while
+    the multiply still covers the whole A.  Parts hold disjoint ascending
+    k-mer rank ranges, so no product crosses parts and the buffer-first
+    stable merge preserves the canonical (kmer, a, b) product order —
+    the result is bit-identical to spgemm_from_device_count on the
+    single-shot counting result (tests/test_count_chunked.py).
+
+    parts_fn: ZERO-ARG callable returning a fresh part iterator; it is
+    re-invoked when an accumulator overflow forces a doubled-capacity
+    retry.
+    """
+    assert upper <= 256
+    span = max(2 * upper - 1 if full else upper - 1, 1)
+    for _ in range(max_retries):
+        state = None
+        for part in parts_fn():
+            N = int(part["km"].shape[0])
+            CI = max((1 << 26) // span, 1 << 18)
+            CI = min(CI, _pow2(max(N, 1 << 10)))
+            npad = _pow2(-(-N // CI) * CI + 2 * upper)
+            rows, pos_p, gid_p = _relayout_from_count(
+                part["rid"], part["pos"], part["rank"], part["nnz"],
+                upper, npad)
+            if out_cap == 0:
+                out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
+            if state is None:
+                state = _empty_state(out_cap)
+            total_inst = part["nnz"].astype(jnp.int32)
+            nchunks = max(-(-int(part["nnz"]) // CI), 1)
+            steps = stage_chunks if stage_chunks > 0 else nchunks
+            start = 0
+            while start < nchunks:
+                state = _spgemm_stage(rows, pos_p, gid_p, total_inst,
+                                      jnp.int32(start), state,
+                                      chunk_inst=CI, out_cap=out_cap,
+                                      full=full, upper=upper, steps=steps,
+                                      two_seeds=two_seeds)
+                start += steps
+            del rows, pos_p, gid_p, part
+        res = _finalize_state(state, min_shared=min_shared)
+        if int(res["stats"]["overflow"]) == 0:
+            return res
+        out_cap *= 2
+    raise RuntimeError(
+        f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
+
+
 def device_result_to_host(res, min_shared: int = 2):
     """Fetch the compacted B as numpy SoA (q, t, numshared, seeds).
 

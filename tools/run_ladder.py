@@ -59,6 +59,9 @@ def parse_args(argv=None):
                     default=None, help="internal: run one stage")
     ap.add_argument("--retries", type=int, default=4)
     ap.add_argument("--align-ckpt", type=int, default=65536)
+    ap.add_argument("--count-parts", type=int, default=0,
+                    help="force multi-pass counting with N k-mer value "
+                         "ranges (0 = auto by HBM footprint)")
     return ap.parse_args(argv)
 
 
@@ -110,23 +113,61 @@ def stage_count(args):
     readset = load_fasta(args.prefix + ".fa")
     t_load = time.time() - t0
 
-    t0 = time.time()
-    count_res = count_device_raw(readset, params.k, params.lower_freq,
-                                 params.upper_freq)
-    nk, nnz = int(count_res["nk"]), int(count_res["nnz"])
-    t_count = time.time() - t0
-    print(f"[stage count] A: {nk} reliable k-mers, {nnz} instances "
-          f"({t_count:.1f}s)", flush=True)
+    # single-shot counting sorts R*W instance slots at ~32B/slot peak
+    # (double-buffered variadic sort); past ~2*10^8 slots that blows the
+    # v5e's 16GB HBM, so switch to the multi-pass counter (one k-mer
+    # value range per pass, same bits out)
+    n = len(readset)
+    L = 1 << max(int(np.ceil(np.log2(max(readset.max_length,
+                                         params.k + 1)))), 0)
+    Rpad = max(-(-n // 1024) * 1024, 8)
+    slots = Rpad * L
+    total_inst = int(np.maximum(
+        readset.lengths.astype(np.int64) - (params.k - 1), 0).sum())
+    parts = args.count_parts
+    if parts == 0 and slots > 220_000_000:
+        parts = max(2, -(-total_inst // 60_000_000))
 
-    t0 = time.time()
-    # staged dispatches: each remote execution stays short (long single
-    # executions through the tunnel are crash-prone at this scale)
     # two_seeds=False: the alignment stage reads only seedQ0/seedT0 (as the
     # reference aligner does, PairwiseAlignment.cpp:90), so the fold-last
     # seed payload is skipped in the multiply's hot sorts
-    bres = spgemm_from_device_count(count_res, params.upper_freq,
-                                    min_shared=2, full=False,
-                                    stage_chunks=2, two_seeds=False)
+    if parts:
+        from elba_tpu.kmers.count_chunked import iter_count_parts
+        from elba_tpu.dsparse.seedmat_device import spgemm_from_count_parts
+        t0 = time.time()
+        agg = dict(nk=0, nnz=0)
+
+        def parts_fn():
+            agg["nk"] = agg["nnz"] = 0
+            for res in iter_count_parts(readset, params.k,
+                                        params.lower_freq,
+                                        params.upper_freq, parts=parts):
+                agg["nk"] += int(res["nk"])
+                agg["nnz"] += int(res["nnz"])
+                yield res
+
+        print(f"[stage count] multi-pass counting: {parts} parts, "
+              f"{total_inst} raw instances", flush=True)
+        bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
+                                       min_shared=2, full=False,
+                                       stage_chunks=2, two_seeds=False)
+        nk, nnz = agg["nk"], agg["nnz"]
+        t_count = 0.0  # interleaved with the multiply; reported there
+    else:
+        t0 = time.time()
+        count_res = count_device_raw(readset, params.k, params.lower_freq,
+                                     params.upper_freq)
+        nk, nnz = int(count_res["nk"]), int(count_res["nnz"])
+        t_count = time.time() - t0
+        print(f"[stage count] A: {nk} reliable k-mers, {nnz} instances "
+              f"({t_count:.1f}s)", flush=True)
+
+        t0 = time.time()
+        # staged dispatches: each remote execution stays short (long single
+        # executions through the tunnel are crash-prone at this scale)
+        bres = spgemm_from_device_count(count_res, params.upper_freq,
+                                        min_shared=2, full=False,
+                                        stage_chunks=2, two_seeds=False)
     host = device_result_to_host(bres, min_shared=2)
     t_spgemm = time.time() - t0
     print(f"[stage count] B: {len(host['q'])} candidate pairs "
