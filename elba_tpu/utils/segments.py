@@ -70,30 +70,35 @@ def expand_join_products(lstarts: np.ndarray, lcounts: np.ndarray,
     if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
+    # int32 index space halves the memory traffic of the decode whenever
+    # the product count allows it (the returned li/ri index the caller's
+    # edge arrays, far smaller than 2^31)
+    dt = np.int32 if total < 2**31 else np.int64
     # drop groups with no products so every decoded run is non-empty
     # (run starts are then strictly increasing -- plain marker stores)
     act = np.flatnonzero(sizes)
-    lc, rc = lcounts[act], rcounts[act]
-    ls, rs = np.asarray(lstarts)[act], np.asarray(rstarts)[act]
+    lc, rc = lcounts[act].astype(dt), rcounts[act].astype(dt)
+    ls = np.asarray(lstarts)[act].astype(dt)
+    rs = np.asarray(rstarts)[act].astype(dt)
 
     def ids_from_counts(counts, n):
         """(ids, starts): index of the owning run per output position,
         for all-positive run lengths summing to n."""
-        starts = np.cumsum(counts) - counts
-        marker = np.zeros(n, np.int64)
+        starts = np.cumsum(counts, dtype=dt) - counts
+        marker = np.zeros(n, dt)
         marker[starts] = 1
-        return np.cumsum(marker) - 1, starts
+        return np.cumsum(marker, dtype=dt) - 1, starts
 
     # one block per (group, a): decode group ids over the block space
     nblk = int(lc.sum())
     gid, gstarts = ids_from_counts(lc, nblk)
-    blk = np.arange(nblk, dtype=np.int64)
+    blk = np.arange(nblk, dtype=dt)
     lrow = ls[gid] + (blk - gstarts[gid])
     rc_blk = rc[gid]
     rs_blk = rs[gid]
     # expand each block over b = 0..rc-1: decode block ids over products
     bid, bstarts = ids_from_counts(rc_blk, total)
-    t = np.arange(total, dtype=np.int64)
+    t = np.arange(total, dtype=dt)
     li = lrow[bid]
     ri = rs_blk[bid] + (t - bstarts[bid])
     return li, ri
