@@ -128,6 +128,64 @@ def test_transitive_reduction_keeps_required():
     assert keys == {(0, 1), (1, 0), (1, 2), (2, 1)}
 
 
+def _tr_via_materialized_n(R):
+    """The pre-optimization formulation: materialize N = P.S with
+    minplus_spgemm, loop P = N until the mark set stabilizes.  Kept as
+    the executable spec for transitive_reduction's masked marking."""
+    from elba_tpu.params import TR_FUZZ
+    S = symmetricize(R)
+    n = np.int64(S.shape[0])
+    t_keys = np.zeros(0, dtype=np.int64)
+    P = S
+    while True:
+        prev = len(t_keys)
+        N = minplus_spgemm(P, S)
+        P = N
+        if N.nnz:
+            dirs = S.vals["direction"]
+            has_dir = dirs != -1
+            nidx = N.lookup(S.rows, S.cols)
+            path = np.full(S.nnz, INF, dtype=np.int64)
+            sel = (nidx >= 0) & has_dir
+            path[sel] = N.vals["suffix_paths"][nidx[sel],
+                                               dirs[sel].astype(np.int64)]
+            fuzzed = S.vals["suffix"].astype(np.int64) + TR_FUZZ
+            transitive = has_dir & (fuzzed >= path)
+            marks = S.key()[np.flatnonzero(transitive)]
+            marks_t = S.rows[transitive] * n + S.cols[transitive]
+            t_keys = np.unique(np.concatenate([t_keys, marks, marks_t]))
+        if len(t_keys) == prev:
+            break
+    S = S.select(~np.isin(S.key(), t_keys))
+    return S.select(S.vals["direction"] != -1)
+
+
+def test_transitive_reduction_random_vs_materialized(rng):
+    """Masked marking == N-materializing marking on random graphs."""
+    for trial in range(8):
+        n = int(rng.integers(6, 40))
+        m = int(rng.integers(n, 4 * n))
+        seen = set()
+        edges = []
+        for _ in range(m):
+            i, j = rng.integers(0, n, 2)
+            if i == j or (min(i, j), max(i, j)) in seen:
+                continue
+            seen.add((min(i, j), max(i, j)))
+            edges.append((min(i, j), max(i, j), overlap_edge(
+                int(rng.integers(0, 1500)), int(rng.integers(0, 1500)),
+                int(rng.integers(-1, 4)), int(rng.integers(-1, 4)))))
+        if not edges:
+            continue
+        R = mk_overlap_matrix(n, edges)
+        S0 = _tr_via_materialized_n(R)
+        S1 = transitive_reduction(R)
+        assert np.array_equal(S0.rows, S1.rows)
+        assert np.array_equal(S0.cols, S1.cols)
+        for f in S0.vals:
+            assert np.array_equal(S0.vals[f], S1.vals[f]), f
+
+
 def test_symmetricize_swaps_fields():
     R = mk_overlap_matrix(2, [(0, 1, dict(suffix=7, suffixT=9, direction=1,
                                           directionT=2, lenQ=100, lenT=200))])
