@@ -47,8 +47,8 @@ def simulate(prefix, genome_len=100000, nreads=200, read_len=8000,
             header = f">{name}\n"
             f.write(header)
             pos += len(header)
-            for j in range(0, len(s), width):
-                f.write(s[j:j + width] + "\n")
+            f.write("\n".join(s[j:j + width]
+                              for j in range(0, len(s), width)) + "\n")
             nlines = (len(s) + width - 1) // width
             fi.write(f"{name}\t{len(s)}\t{pos}\t{width}\t{width + 1}\n")
             pos += len(s) + nlines
@@ -61,12 +61,15 @@ def simulate(prefix, genome_len=100000, nreads=200, read_len=8000,
 
     with open(prefix + ".truth.tsv", "w") as f:
         f.write("#readA\treadB\toverlap_len\n")
+        # starts are sorted and reads share one length, so read i only
+        # overlaps the contiguous run of later reads starting before its
+        # end -- bound the inner loop with searchsorted instead of
+        # scanning all O(n^2) pairs (same lines, same order)
+        ends = np.searchsorted(starts, starts + read_len)
         for i in range(nreads):
-            for j in range(i + 1, nreads):
-                ov = min(starts[i] + read_len, starts[j] + read_len) - \
-                    max(starts[i], starts[j])
-                if ov > 0:
-                    f.write(f"{names[i]}\t{names[j]}\t{ov}\n")
+            si = starts[i]
+            for j in range(i + 1, ends[i]):
+                f.write(f"{names[i]}\t{names[j]}\t{si + read_len - starts[j]}\n")
     return names, starts, strands
 
 
