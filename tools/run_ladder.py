@@ -127,6 +127,35 @@ def stage_count(args):
     parts = args.count_parts
     if parts == 0 and slots > 220_000_000:
         parts = max(2, -(-total_inst // 60_000_000))
+    if params.k > 32:
+        # device counting packs one uint64 word (k <= 32); k in 33..95
+        # counts on the host (native C++ multi-word counter) and feeds
+        # the device SpGEMM
+        from elba_tpu.kmers.count import build_kmer_matrix
+        from elba_tpu.dsparse.seedmat_device import build_seed_matrix_device
+        print(f"[stage count] k={params.k} > 32: host native counting + "
+              f"device SpGEMM", flush=True)
+        t0 = time.time()
+        A = build_kmer_matrix(readset, params.k, params.lower_freq,
+                              params.upper_freq)
+        nk, nnz = A.num_kmers, len(A.rows)
+        t_count = time.time() - t0
+        print(f"[stage count] A: {nk} reliable k-mers, {nnz} instances "
+              f"({t_count:.1f}s)", flush=True)
+        t0 = time.time()
+        bres, _ = build_seed_matrix_device(A, min_shared=2, full=False,
+                                           stage_chunks=2,
+                                           upper=params.upper_freq)
+        host = device_result_to_host(bres, min_shared=2)
+        t_spgemm = time.time() - t0
+        print(f"[stage count] B: {len(host['q'])} candidate pairs "
+              f"({t_spgemm:.1f}s)", flush=True)
+        np.savez(os.path.join(d, "B.npz"), **host)
+        with open(os.path.join(d, "count.json"), "w") as f:
+            json.dump(dict(load_fasta=t_load, kmer_matrix=t_count,
+                           seed_matrix=t_spgemm, n_kmers=int(nk),
+                           a_nnz=int(nnz), b_nnz=len(host["q"])), f)
+        return
 
     # two_seeds=False: the alignment stage reads only seedQ0/seedT0 (as the
     # reference aligner does, PairwiseAlignment.cpp:90), so the fold-last
@@ -139,11 +168,16 @@ def stage_count(args):
 
         def parts_fn():
             agg["nk"] = agg["nnz"] = 0
-            for res in iter_count_parts(readset, params.k,
-                                        params.lower_freq,
-                                        params.upper_freq, parts=parts):
+            tp = time.time()
+            for i, res in enumerate(iter_count_parts(
+                    readset, params.k, params.lower_freq,
+                    params.upper_freq, parts=parts)):
                 agg["nk"] += int(res["nk"])
                 agg["nnz"] += int(res["nnz"])
+                print(f"[stage count] part {i + 1}/{parts}: "
+                      f"nk={agg['nk']} nnz={agg['nnz']} "
+                      f"({time.time() - tp:.1f}s)", flush=True)
+                tp = time.time()
                 yield res
 
         print(f"[stage count] multi-pass counting: {parts} parts, "
