@@ -8,9 +8,13 @@ length bucket (127 cached builder shapes after one ladder run).
 
 This driver removes all of that:
 
-* The read set's flat 2-bit code array is uploaded ONCE (ReadSet is
-  already SoA: codes/offsets/lengths), so batches ship only pair indices
-  and seeds (a few KB).
+* The read set's flat code array is 2-bit PACKED (4 bases/byte,
+  dna.pack_2bit) and uploaded ONCE, so batches ship only pair indices
+  and seeds (a few KB).  Packing quarters the HBM footprint and traffic
+  of window gathers and lifts the int32-indexing capacity to ~8.6 Gbp
+  (the C. elegans-scale rung ships 2.24 Gbp of reads, 4% over the old
+  unpacked int32 limit).  Offsets stay in CODE space; the window
+  builder slices packed bytes and unpacks in-program.
 * Window building, kernel invocation, and the continuation-round loop all
   run inside ONE jitted program (`lax.while_loop` around the Pallas call):
   zero host round-trips between rounds, one dispatch per batch.
@@ -56,6 +60,9 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     """One fused dispatch: geometry + seed check + window build + kernel +
     continuation rounds for `nitems`/2 pairs.  All int32.
 
+    `codes` is the 2-bit PACKED flat code array (uint8, 4 bases/byte,
+    MSB-first — dna.pack_2bit layout); `offsets` are in code space.
+
     Returns (P, 8) int32: score, begQ, endQ, begT, endT, rc, overflow,
     seed_ok.
     """
@@ -68,18 +75,23 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     lenQ = lengths[qidx]
     lenT = lengths[tidx]
 
+    def _pcode(g):
+        """code at flat (code-space) global index g, from packed bytes."""
+        byte = codes[g >> 2].astype(i32)
+        return (byte >> (6 - 2 * (g & 3))) & 3
+
     def _b(v, pos):
         """broadcast a per-pair (P,) vector against a (P, ...) pos array"""
         return v.reshape(v.shape + (1,) * (pos.ndim - 1))
 
     def qcode(pos):
         """q code at read-coordinate pos (clipped inside the read)."""
-        return codes[_b(offQ, pos)
-                     + jnp.clip(pos, 0, _b(lenQ, pos) - 1)].astype(i32)
+        return _pcode(_b(offQ, pos)
+                      + jnp.clip(pos, 0, _b(lenQ, pos) - 1))
 
     def tcode(pos):
-        return codes[_b(offT, pos)
-                     + jnp.clip(pos, 0, _b(lenT, pos) - 1)].astype(i32)
+        return _pcode(_b(offT, pos)
+                      + jnp.clip(pos, 0, _b(lenT, pos) - 1))
 
     # strand guess from the seed midpoint (reference XDropAligner.cpp:248)
     rc = qcode(begQ + khalf) != tcode(begT + khalf)
@@ -88,8 +100,8 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     def teff(pos):
         """t code on the effective (possibly revcomp'd) strand."""
         p = jnp.clip(pos, 0, _b(lenT, pos) - 1)
-        fwd = codes[_b(offT, pos) + p].astype(i32)
-        rev = 3 - codes[_b(offT, pos) + (_b(lenT, pos) - 1 - p)].astype(i32)
+        fwd = _pcode(_b(offT, pos) + p)
+        rev = 3 - _pcode(_b(offT, pos) + (_b(lenT, pos) - 1 - p))
         return jnp.where(_b(rc, pos), rev, fwd)
 
     # exact seed verification (reference :250-254)
@@ -149,8 +161,19 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     rc_i = rc[pair_s]
 
     def rows_of(starts, width: int):
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(codes, (s,), (width,)))(starts)
+        """Fetch a contiguous `width`-code run per item from the packed
+        array: slice width//4+1 bytes at start>>2, unpack (MSB-first),
+        then slice `width` codes at start&3.  The +1-byte overread is
+        covered by the packed array's trailing safety byte."""
+        nb = width // 4 + 1
+        sh = jnp.arange(4, dtype=i32) * 2
+
+        def one(s):
+            b = jax.lax.dynamic_slice(codes, (s >> 2,), (nb,)).astype(i32)
+            c = ((b[:, None] >> (6 - sh)[None, :]) & 3).reshape(nb * 4)
+            return jax.lax.dynamic_slice(c, (s & 3,), (width,))
+
+        return jax.vmap(one)(starts)
 
     def build_windows(qoffs, toffs):
         """QS[j] = q_item[qoff + j - 1]; TSR[j] = t_item[tanch - toff - j].
@@ -333,9 +356,14 @@ class DeviceAligner:
         tail = winpad + ((-(len(codes) + 2 * winpad)) % 128)
         codes = np.concatenate([np.zeros(winpad, np.uint8), codes,
                                 np.zeros(tail, np.uint8)])
-        assert codes.size < 2 ** 31, "flat code array must fit int32 indexing"
+        # 2-bit pack (4 bases/byte): 4x HBM capacity/traffic; +1 safety
+        # byte covers rows_of's one-byte overread at the extreme start
+        from ..dseq.dna import pack_2bit
+        packed = np.concatenate([pack_2bit(codes), np.zeros(1, np.uint8)])
+        assert packed.size < 2 ** 31, \
+            "packed code array must fit int32 indexing (~8.6 Gbp)"
         self._dev = dict(
-            codes=jax.device_put(codes.astype(np.int8)),
+            codes=jax.device_put(packed),
             offsets=jax.device_put(
                 (readset.offsets + winpad).astype(np.int32)),
             lengths=jax.device_put(readset.lengths.astype(np.int32)),
