@@ -126,7 +126,13 @@ def stage_count(args):
         readset.lengths.astype(np.int64) - (params.k - 1), 0).sum())
     parts = args.count_parts
     if parts == 0 and slots > 220_000_000:
-        parts = max(2, -(-total_inst // 60_000_000))
+        # per-part budget 90M instances: cap ~= 1.6*90M + 33M slots
+        # -> ~2.8GB buffer, ~5.5GB during the final merge sort's double
+        # buffering; with a 3GB resident read array that peaks ~9.7GB of
+        # the v5e's 16GB.  Passes re-sweep the WHOLE read array, so the
+        # budget directly divides the count stage's redundant work
+        # (the 22X C. elegans rung ran 37 passes at the old 60M budget).
+        parts = max(2, -(-total_inst // 90_000_000))
     if params.k > 32:
         # device counting packs one uint64 word (k <= 32); k in 33..95
         # counts on the host (native C++ multi-word counter) and feeds
@@ -144,7 +150,7 @@ def stage_count(args):
               f"({t_count:.1f}s)", flush=True)
         t0 = time.time()
         bres, _ = build_seed_matrix_device(A, min_shared=2, full=False,
-                                           stage_chunks=2,
+                                           stage_chunks=4,
                                            upper=params.upper_freq)
         host = device_result_to_host(bres, min_shared=2)
         t_spgemm = time.time() - t0
@@ -184,7 +190,7 @@ def stage_count(args):
               f"{total_inst} raw instances", flush=True)
         bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
                                        min_shared=2, full=False,
-                                       stage_chunks=2, two_seeds=False)
+                                       stage_chunks=4, two_seeds=False)
         nk, nnz = agg["nk"], agg["nnz"]
         t_count = 0.0  # interleaved with the multiply; reported there
     else:
@@ -201,7 +207,7 @@ def stage_count(args):
         # executions through the tunnel are crash-prone at this scale)
         bres = spgemm_from_device_count(count_res, params.upper_freq,
                                         min_shared=2, full=False,
-                                        stage_chunks=2, two_seeds=False)
+                                        stage_chunks=4, two_seeds=False)
     host = device_result_to_host(bres, min_shared=2)
     t_spgemm = time.time() - t0
     print(f"[stage count] B: {len(host['q'])} candidate pairs "
