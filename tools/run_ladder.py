@@ -287,37 +287,58 @@ def stage_graph(args):
     from elba_tpu.io.fasta_out import write_contigs_fasta
     from tools.eval_assembly import evaluate
 
+    steps = {}
+
+    def _step(name, fn):
+        t0 = time.time()
+        out = fn()
+        steps[name] = round(time.time() - t0, 2)
+        print(f"[stage graph] {name}: {steps[name]}s", flush=True)
+        return out
+
     params = _params(args)
     d = _stagedir(args)
-    R_ = np.load(os.path.join(d, "R.npz"))
-    readset = load_fasta(args.prefix + ".fa")
+    R_ = _step("load_R", lambda: np.load(os.path.join(d, "R.npz")))
+    readset = _step("load_fasta", lambda: load_fasta(args.prefix + ".fa"))
 
     t0 = time.time()
     qi = R_["q"].astype(np.int64)
     ti = R_["t"].astype(np.int64)
     lenQ = readset.lengths[qi - readset.start_id].astype(np.int32)
     lenT = readset.lengths[ti - readset.start_id].astype(np.int32)
-    vals = classify_and_fill(R_["score"], R_["begQ"], R_["endQ"],
-                             R_["begT"], R_["endT"], R_["rc"], lenQ, lenT)
-    vals["seedQ"] = R_["seedQ"].astype(np.int32)
-    vals["seedT"] = R_["seedT"].astype(np.int32)
+
+    def _classify():
+        vals = classify_and_fill(R_["score"], R_["begQ"], R_["endQ"],
+                                 R_["begT"], R_["endT"], R_["rc"],
+                                 lenQ, lenT)
+        vals["seedQ"] = R_["seedQ"].astype(np.int32)
+        vals["seedT"] = R_["seedT"].astype(np.int32)
+        return vals
+
+    vals = _step("classify", _classify)
     n = len(readset)
-    R = COOMatrix(rows=qi, cols=ti, vals=vals, shape=(n, n)).sorted()
-    write_paf(R, readset.names, params.output_prefix + ".overlap.paf")
-    Rp = prune_overlap_graph(R, params.bad_read_cutoff)
-    S = transitive_reduction(Rp)
-    write_paf(S, readset.names, params.output_prefix + ".string.paf")
-    contigs = generate_contigs(S, readset)
-    write_contigs_fasta(contigs, params.output_prefix + ".contigs.fa")
+    R = _step("R_sort", lambda: COOMatrix(rows=qi, cols=ti, vals=vals,
+                                          shape=(n, n)).sorted())
+    _step("overlap_paf", lambda: write_paf(
+        R, readset.names, params.output_prefix + ".overlap.paf"))
+    Rp = _step("prune", lambda: prune_overlap_graph(
+        R, params.bad_read_cutoff))
+    S = _step("tr", lambda: transitive_reduction(Rp))
+    _step("string_paf", lambda: write_paf(
+        S, readset.names, params.output_prefix + ".string.paf"))
+    contigs = _step("contigs", lambda: generate_contigs(S, readset))
+    _step("contigs_fa", lambda: write_contigs_fasta(
+        contigs, params.output_prefix + ".contigs.fa"))
     t_graph = time.time() - t0
 
-    stats = evaluate(params.output_prefix + ".contigs.fa",
-                     args.prefix + ".genome.fa", k=31)
+    stats = _step("eval", lambda: evaluate(
+        params.output_prefix + ".contigs.fa",
+        args.prefix + ".genome.fa", k=31))
     with open(os.path.join(d, "graph.json"), "w") as f:
         json.dump(dict(graph_seconds=t_graph, alignments=int(R.nnz),
                        string_edges=int(S.nnz), contigs=len(contigs),
                        genome_fraction=float(stats["genome_fraction"]),
-                       n50=int(stats["n50"])), f)
+                       n50=int(stats["n50"]), steps=steps), f)
 
 
 def orchestrate(args):
