@@ -126,13 +126,14 @@ def stage_count(args):
         readset.lengths.astype(np.int64) - (params.k - 1), 0).sum())
     parts = args.count_parts
     if parts == 0 and slots > 220_000_000:
-        # per-part budget 90M instances: cap ~= 1.6*90M + 33M slots
-        # -> ~2.8GB buffer, ~5.5GB during the final merge sort's double
-        # buffering; with a 3GB resident read array that peaks ~9.7GB of
-        # the v5e's 16GB.  Passes re-sweep the WHOLE read array, so the
-        # budget directly divides the count stage's redundant work
-        # (the 22X C. elegans rung ran 37 passes at the old 60M budget).
-        parts = max(2, -(-total_inst // 90_000_000))
+        # per-part budget 60M instances -> cap ~= 1.6*60M/1 + 33M = ~129M
+        # buffer slots.  A 90M budget (cap ~177M) was tried and the
+        # REMOTE COMPILE HELPER gets OOM-SIGKILLed compiling the part
+        # program at that shape (2026-08-18, both attempts) -- the bound
+        # is the tunnel's compile host, not HBM.  Passes re-sweep the
+        # whole read array, so the budget divides the count stage's
+        # redundant work; revisit if the compile helper gets more memory.
+        parts = max(2, -(-total_inst // 60_000_000))
     if params.k > 32:
         # device counting packs one uint64 word (k <= 32); k in 33..95
         # counts on the host (native C++ multi-word counter) and feeds
