@@ -108,17 +108,9 @@ def _count_part(codes, lengths, part_lo, part_hi, nk_offset,
                                 is_stable=True)
     n = km.shape[0]
     bound = jnp.concatenate([jnp.ones(1, bool), km[1:] != km[:-1]])
-    # per-slot group size via two single-array scans (segment_sum +
-    # [gid] gather measured ~0.9s per 33M slots on v5e; scans ~0.03s):
-    # cnt = (next head after me) - (my group's head)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(bound, idx, -1))
-    after = jax.lax.associative_scan(
-        jnp.minimum,
-        jnp.where(jnp.concatenate([bound[1:], jnp.ones(1, bool)]),
-                  idx + 1, n), reverse=True)
-    cnt = after - start
+    gid = jnp.cumsum(bound.astype(jnp.int32)) - 1
+    cnt = jax.ops.segment_sum(
+        jnp.ones(n, jnp.int32), gid, num_segments=n)[gid]
     rel = (km != SENTK) & (cnt >= lower) & (cnt <= upper)
     head = bound & rel
     rank = jnp.cumsum(head.astype(jnp.int32)) - 1 + nk_offset
