@@ -62,6 +62,11 @@ def parse_args(argv=None):
     ap.add_argument("--count-parts", type=int, default=0,
                     help="force multi-pass counting with N k-mer value "
                          "ranges (0 = auto by HBM footprint)")
+    ap.add_argument("--count-group", type=int, default=1,
+                    help="share one read sweep across N consecutive count "
+                         "parts (kmers/count_grouped.py); N part buffers "
+                         "live in HBM at once, so N*cap*16B must fit "
+                         "beside the read array (1 = one sweep per part)")
     return ap.parse_args(argv)
 
 
@@ -173,12 +178,28 @@ def stage_count(args):
         t0 = time.time()
         agg = dict(nk=0, nnz=0)
 
+        if args.count_group > 1:
+            from elba_tpu.kmers.count_grouped import \
+                iter_count_parts_grouped
+
+            def _sweep_log(event, **info):
+                print(f"[stage count] {event}: {info}", flush=True)
+
+            def _iter_parts():
+                return iter_count_parts_grouped(
+                    readset, params.k, params.lower_freq,
+                    params.upper_freq, parts=parts,
+                    group=args.count_group, progress=_sweep_log)
+        else:
+            def _iter_parts():
+                return iter_count_parts(
+                    readset, params.k, params.lower_freq,
+                    params.upper_freq, parts=parts)
+
         def parts_fn():
             agg["nk"] = agg["nnz"] = 0
             tp = time.time()
-            for i, res in enumerate(iter_count_parts(
-                    readset, params.k, params.lower_freq,
-                    params.upper_freq, parts=parts)):
+            for i, res in enumerate(_iter_parts()):
                 agg["nk"] += int(res["nk"])
                 agg["nnz"] += int(res["nnz"])
                 print(f"[stage count] part {i + 1}/{parts}: "
