@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-level", type=int, default=1,
                    help="1=phases, 2=+kmer histogram and B dump, 3=+A dump "
                         "(mirrors the reference LOG_LEVEL)")
+    p.add_argument("--count-parts", type=int, default=0,
+                   help="multi-pass counting with N k-mer value ranges "
+                        "(0 = auto by HBM footprint on TPU)")
+    p.add_argument("--count-group", type=int, default=2,
+                   help="count parts filled per read sweep (HBM holds N "
+                        "part buffers at once) [2]")
     return p
 
 
@@ -57,7 +63,9 @@ def main(argv=None) -> int:
         k=args.k, lower_freq=args.l, upper_freq=args.u,
         mat=args.A, mis=-args.B, gap=-args.G, xdrop=args.x,
         bad_read_cutoff=args.c, output_prefix=args.o)
-    run_pipeline(args.fasta, params, log_level=args.log_level)
+    run_pipeline(args.fasta, params, log_level=args.log_level,
+                 count_parts=args.count_parts,
+                 count_group=args.count_group)
     return 0
 
 

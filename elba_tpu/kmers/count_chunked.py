@@ -142,8 +142,11 @@ def plan_parts(readset, k: int, parts: int, read_chunk: int = 0,
     L = _pow2(max(readset.max_length, k + 1))
     W = L - k + 1
     if read_chunk == 0:
-        # ~32M instance slots per chunk: chunk sort stays ~1GB peak
-        read_chunk = max(min((1 << 25) // W, 4096), 64)
+        # ~32M instance slots per chunk: chunk sort stays ~1GB peak.
+        # Small readsets shrink to the padded read count — a huge default
+        # chunk would size cap (and every downstream padded program) by
+        # the append window instead of the actual load.
+        read_chunk = max(min((1 << 25) // W, 4096, _pow2(max(n, 1))), 64)
     Rpad = -(-max(n, 1) // read_chunk) * read_chunk
     total = int(np.maximum(np.asarray(readset.lengths, np.int64)
                            - (k - 1), 0).sum())

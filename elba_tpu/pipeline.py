@@ -50,10 +50,16 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
                  write_outputs: bool = True,
                  aligner: Optional[Callable] = None,
                  log: Optional[Callable[[str], None]] = print,
-                 log_level: int = 1) -> PipelineResult:
+                 log_level: int = 1, count_parts: int = 0,
+                 count_group: int = 2) -> PipelineResult:
     """log_level mirrors the reference's LOG_LEVEL gating: >=2 prints the
     k-mer histogram and dumps B/R matrices, >=3 also dumps A
-    (ELBALogger.cpp:5-43, main.cpp:449-485)."""
+    (ELBALogger.cpp:5-43, main.cpp:449-485).
+
+    count_parts/count_group: beyond-HBM device counting geometry (0 =
+    auto); on TPU, instance sets past the single-shot sort's HBM ceiling
+    count multi-pass (kmers/count_grouped.py) chained into the device
+    SpGEMM, `count_group` value ranges per read sweep."""
     from .utils.logging import PhaseTimer
     timer = PhaseTimer(sync=False)
     timings = timer.phases
@@ -79,12 +85,24 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     # caller does not need A's triples (histogram/dump logging does)
     windows = len(readset) * max(readset.max_length - params.k + 1, 0)
     dev_count = on_tpu and params.k <= 32 and windows < 180_000_000
-    chain = (dev_count and params.upper_freq <= 256
-             and readset.max_length < (1 << 15) and log_level < 2)
+    chainable = (params.upper_freq <= 256
+                 and readset.max_length < (1 << 15) and log_level < 2)
+    chain = dev_count and chainable
+    # beyond the single-shot sort's HBM ceiling: multi-pass counting over
+    # k-mer value ranges (one sweep fills count_group part buffers),
+    # chained part-by-part into the device SpGEMM — bounded memory, bit-
+    # identical outputs (kmers/count_grouped.py).  Auto on TPU; an
+    # explicit count_parts opts in on any backend.
+    multi = (params.k <= 32 and not dev_count and chainable
+             and (on_tpu or count_parts > 0))
 
     count_res = None
+    multi_agg = None
     with phase("kmer_matrix"):
-        if chain:
+        if multi:
+            multi_agg = dict(nk=0, nnz=0)
+            A = None
+        elif chain:
             from .kmers.count import KmerMatrixSummary
             from .kmers.count_device import count_device_raw
             count_res = count_device_raw(readset, params.k,
@@ -101,7 +119,7 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
         else:
             A = build_kmer_matrix(readset, params.k, params.lower_freq,
                                   params.upper_freq)
-    if log:
+    if log and A is not None:
         log(f"[elba-tpu] A: {A.num_reads} reads x {A.num_kmers} reliable "
             f"k-mers, {A.nnz} nnz")
     if log and log_level >= 2:
@@ -119,7 +137,39 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
         from .dsparse.seedmat import (device_spgemm_suitable,
                                       seed_matrix_device,
                                       seed_matrix_from_device_result)
-        if chain:
+        if multi:
+            from .kmers.count import KmerMatrixSummary
+            from .kmers.count_grouped import iter_count_parts_grouped
+            from .dsparse.seedmat_device import spgemm_from_count_parts
+            total_inst = int(np.maximum(
+                np.asarray(readset.lengths, np.int64)
+                - (params.k - 1), 0).sum())
+            parts = count_parts or max(2, -(-total_inst // 60_000_000))
+            group = max(1, min(count_group, parts))
+            if log:
+                log(f"[elba-tpu] multi-pass counting: {parts} parts in "
+                    f"groups of {group}, {total_inst} raw instances")
+
+            def parts_fn():
+                multi_agg["nk"] = multi_agg["nnz"] = 0
+                for res in iter_count_parts_grouped(
+                        readset, params.k, params.lower_freq,
+                        params.upper_freq, parts=parts, group=group):
+                    multi_agg["nk"] += int(res["nk"])
+                    multi_agg["nnz"] += int(res["nnz"])
+                    yield res
+
+            bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
+                                           min_shared=2, full=False,
+                                           stage_chunks=4)
+            B = seed_matrix_from_device_result(bres, len(readset))
+            A = KmerMatrixSummary(num_reads=len(readset),
+                                  num_kmers=multi_agg["nk"],
+                                  nnz=multi_agg["nnz"])
+            if log:
+                log(f"[elba-tpu] A: {A.num_reads} reads x {A.num_kmers} "
+                    f"reliable k-mers, {A.nnz} nnz")
+        elif chain:
             from .dsparse.seedmat_device import spgemm_from_device_count
             bres = spgemm_from_device_count(count_res, params.upper_freq,
                                             min_shared=2, full=False)

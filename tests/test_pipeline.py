@@ -135,3 +135,28 @@ def test_reference_fixture_e2e(tmp_path, sample_reads):
         got = (tmp_path / f"elba.{ext}").read_bytes()
         want = open(os.path.join(golden, f"readsfa.{ext}"), "rb").read()
         assert got == want, f"golden drift in {ext}"
+
+
+def test_pipeline_multipass_counting_matches(tmp_path):
+    """run_pipeline with forced multi-pass grouped counting (the beyond-
+    HBM TPU path, CPU-exercisable via count_parts) must write byte-equal
+    outputs to the default path."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.simulate import simulate
+    prefix = str(tmp_path / "mp")
+    simulate(prefix, genome_len=25000, nreads=50, read_len=2500,
+             error=0.0, seed=11)
+    pa = PipelineParams(k=17, lower_freq=2, upper_freq=12, xdrop=5,
+                        output_prefix=prefix + ".a")
+    pb = PipelineParams(k=17, lower_freq=2, upper_freq=12, xdrop=5,
+                        output_prefix=prefix + ".b")
+    ra = run_pipeline(prefix + ".fa", pa, log=None)
+    rb = run_pipeline(prefix + ".fa", pb, log=None,
+                      count_parts=5, count_group=3)
+    assert rb.A.num_kmers == ra.A.num_kmers and rb.A.nnz == ra.A.nnz
+    assert rb.R.nnz == ra.R.nnz and rb.S.nnz == ra.S.nnz
+    for ext in (".overlap.paf", ".string.paf", ".contigs.fa"):
+        a = open(prefix + ".a" + ext, "rb").read()
+        b = open(prefix + ".b" + ext, "rb").read()
+        assert a == b, ext
