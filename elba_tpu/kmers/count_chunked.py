@@ -48,6 +48,27 @@ from .extract import extract_canonical_kmers
 SENTK = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def pack_code_rows(codes: np.ndarray) -> np.ndarray:
+    """Pack [R, L] per-base codes into [R, L//4] bytes (4 bases/byte,
+    MSB-first — dna.pack_2bit's layout, rowwise).  The resident read
+    array is the counters' largest long-lived device buffer; packed it
+    costs 1/4 the HBM and tunnel upload (2.24 Gbp ~= 0.6 GB instead of
+    2.3 GB)."""
+    R, L = codes.shape
+    assert L % 4 == 0
+    q = codes.reshape(R, L // 4, 4)
+    return (q[:, :, 0] << 6 | q[:, :, 1] << 4
+            | q[:, :, 2] << 2 | q[:, :, 3]).astype(np.uint8)
+
+
+def unpack_code_rows(packed):
+    """Device-side inverse of pack_code_rows: [R, L4] u8 -> [R, 4*L4] u8.
+    A few elementwise ops per chunk — negligible next to the chunk sort."""
+    x = (packed[:, :, None].astype(jnp.int32)
+         >> jnp.asarray([6, 4, 2, 0], jnp.int32)) & 3
+    return x.reshape(packed.shape[0], -1).astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "lower", "upper", "read_chunk", "cap"))
@@ -55,7 +76,8 @@ def _count_part(codes, lengths, part_lo, part_hi, nk_offset,
                 k: int, lower: int, upper: int, read_chunk: int, cap: int):
     """Count the k-mers with canonical value in [part_lo, part_hi).
 
-    codes:   uint8[R, L] resident read array, R a multiple of read_chunk
+    codes:   uint8[R, L // 4] resident 2-bit-packed read array
+             (pack_code_rows), R a multiple of read_chunk
     lengths: int32[R]
     part_lo/part_hi: uint64 scalars (dynamic — one compile serves all parts)
     nk_offset: int32 scalar, global rank of this part's first k-mer
@@ -64,7 +86,8 @@ def _count_part(codes, lengths, part_lo, part_hi, nk_offset,
     GLOBAL k-mer rank (nk_offset added) and only the first nnz compacted
     slots are live.
     """
-    R, L = codes.shape
+    R, L4 = codes.shape
+    L = 4 * L4
     W = L - k + 1
     Rc = read_chunk
     C = R // Rc
@@ -77,7 +100,8 @@ def _count_part(codes, lengths, part_lo, part_hi, nk_offset,
     def body(c, carry):
         f, bkm, brid, bpos, ovf = carry
         rows0 = c * Rc
-        codes_c = jax.lax.dynamic_slice(codes, (rows0, 0), (Rc, L))
+        codes_c = unpack_code_rows(
+            jax.lax.dynamic_slice(codes, (rows0, 0), (Rc, L4)))
         lens_c = jax.lax.dynamic_slice(lengths, (rows0,), (Rc,))
         canon, valid = extract_canonical_kmers(codes_c, lens_c, k)
         keep = valid & (canon >= part_lo) & (canon < part_hi)
@@ -178,9 +202,9 @@ def iter_count_parts(readset, k: int, lower: int, upper: int,
     n = len(readset)
     L = _pow2(max(readset.max_length, k + 1))
     Rpad = -(-max(n, 1) // rc) * rc
-    codes = np.zeros((Rpad, L), np.uint8)
+    codes = np.zeros((Rpad, L // 4), np.uint8)
     lengths = np.zeros(Rpad, np.int32)
-    codes[:n] = readset.padded_codes(L)
+    codes[:n] = pack_code_rows(readset.padded_codes(L))
     lengths[:n] = readset.lengths
     codes_d = jnp.asarray(codes)
     lengths_d = jnp.asarray(lengths)

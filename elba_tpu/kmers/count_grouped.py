@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .count import KmerMatrix
-from .count_chunked import SENTK, _count_part, plan_parts
+from .count_chunked import (SENTK, _count_part, pack_code_rows, plan_parts,
+                            unpack_code_rows)
 from .extract import extract_canonical_kmers
 
 
@@ -44,7 +45,8 @@ def _fill_group(codes, lengths, bounds, k: int, read_chunk: int, cap: int,
                 group: int):
     """One sweep over the reads, filling `group` part buffers.
 
-    codes:   uint8[R, L] resident read array, R a multiple of read_chunk
+    codes:   uint8[R, L // 4] resident 2-bit-packed read array
+             (count_chunked.pack_code_rows), R a multiple of read_chunk
     lengths: int32[R]
     bounds:  uint64[group + 1] ascending range boundaries (dynamic — one
              compile serves every group); range g is [bounds[g],
@@ -63,7 +65,8 @@ def _fill_group(codes, lengths, bounds, k: int, read_chunk: int, cap: int,
     as soon as its part is consumed — at genome scale each triple is
     ~cap * 16 bytes of HBM.
     """
-    R, L = codes.shape
+    R, L4 = codes.shape
+    L = 4 * L4
     W = L - k + 1
     Rc = read_chunk
     C = R // Rc
@@ -80,7 +83,8 @@ def _fill_group(codes, lengths, bounds, k: int, read_chunk: int, cap: int,
     def body(c, carry):
         f, bufs, ovf = carry
         rows0 = c * Rc
-        codes_c = jax.lax.dynamic_slice(codes, (rows0, 0), (Rc, L))
+        codes_c = unpack_code_rows(
+            jax.lax.dynamic_slice(codes, (rows0, 0), (Rc, L4)))
         lens_c = jax.lax.dynamic_slice(lengths, (rows0,), (Rc,))
         canon, valid = extract_canonical_kmers(codes_c, lens_c, k)
         keep = valid & (canon >= bounds[0]) & (canon < bounds[G])
@@ -176,9 +180,9 @@ def iter_count_parts_grouped(readset, k: int, lower: int, upper: int,
     n = len(readset)
     L = 1 << max(int(np.ceil(np.log2(max(readset.max_length, k + 1)))), 0)
     Rpad = -(-max(n, 1) // rc) * rc
-    codes = np.zeros((Rpad, L), np.uint8)
+    codes = np.zeros((Rpad, L // 4), np.uint8)
     lengths = np.zeros(Rpad, np.int32)
-    codes[:n] = readset.padded_codes(L)
+    codes[:n] = pack_code_rows(readset.padded_codes(L))
     lengths[:n] = readset.lengths
     codes_d = jnp.asarray(codes)
     lengths_d = jnp.asarray(lengths)
