@@ -51,9 +51,18 @@ def evaluate(contigs_path, genome_path, k=31):
     gcodes = np.concatenate([ascii_to_codes(s) for s in genome.values()])
     glen = len(gcodes)
     gk = pack_kmers_ref(gcodes, k)
-    lut = {}
-    for p, v in enumerate(gk):
-        lut.setdefault(int(v), p)
+    # first-occurrence k-mer -> position lookup as a sorted array (a
+    # Python dict over a 10^8-k-mer genome costs tens of GB and minutes;
+    # stable argsort keeps the lowest position first among equal values)
+    order = np.argsort(gk, kind="stable")
+    gk_sorted = gk[order]
+
+    def lookup(vals):
+        """position of each value's first genome occurrence, or -1."""
+        idx = np.searchsorted(gk_sorted, vals, side="left")
+        idx = np.minimum(idx, len(gk_sorted) - 1)
+        hit = (len(gk_sorted) > 0) & (gk_sorted[idx] == vals)
+        return np.where(hit, order[idx], -1)
 
     covered = np.zeros(glen, dtype=bool)
     anchored = 0
@@ -63,8 +72,9 @@ def evaluate(contigs_path, genome_path, k=31):
         for strand in range(2):
             cc = c if strand == 0 else (3 - c[::-1]).astype(np.uint8)
             ck = pack_kmers_ref(cc, k)
-            pos = [(p, lut[int(v)]) for p, v in enumerate(ck[::max(1, len(ck)//200)])
-                   if int(v) in lut]
+            sample = ck[::max(1, len(ck) // 200)]
+            gpos = lookup(sample)
+            pos = [(p, int(g)) for p, g in enumerate(gpos) if g >= 0]
             if len(pos) > len(hits):
                 hits = pos
                 best = cc
