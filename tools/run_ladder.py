@@ -138,7 +138,17 @@ def stage_count(args):
         # is the tunnel's compile host, not HBM.  Passes re-sweep the
         # whole read array, so the budget divides the count stage's
         # redundant work; revisit if the compile helper gets more memory.
-        parts = max(2, -(-total_inst // 60_000_000))
+        # One SHARED cap shape (61*2^21 slots, just under the compile
+        # bound) for every auto-sized rung: the finalize / fallback /
+        # SpGEMM-relayout programs are keyed by the part buffer shape, so
+        # a fixed cap means later rungs reuse the compilation cache
+        # instead of paying ~10 min of fresh remote compiles each.
+        cap_target = 61 << 21
+        budget = (cap_target - 34_000_000) * 10 // 16  # /1.6 slack
+        parts = max(2, -(-total_inst // budget))
+        count_cap = cap_target
+    else:
+        count_cap = 0
     if params.k > 32:
         # device counting packs one uint64 word (k <= 32); k in 33..95
         # counts on the host (native C++ multi-word counter) and feeds
@@ -188,13 +198,13 @@ def stage_count(args):
             def _iter_parts():
                 return iter_count_parts_grouped(
                     readset, params.k, params.lower_freq,
-                    params.upper_freq, parts=parts,
+                    params.upper_freq, parts=parts, cap=count_cap,
                     group=args.count_group, progress=_sweep_log)
         else:
             def _iter_parts():
                 return iter_count_parts(
                     readset, params.k, params.lower_freq,
-                    params.upper_freq, parts=parts)
+                    params.upper_freq, parts=parts, cap=count_cap)
 
         def parts_fn():
             agg["nk"] = agg["nnz"] = 0
