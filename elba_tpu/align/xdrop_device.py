@@ -12,9 +12,10 @@ This driver removes all of that:
   dna.pack_2bit) and uploaded ONCE, so batches ship only pair indices
   and seeds (a few KB).  Packing quarters the HBM footprint and traffic
   of window gathers and lifts the int32-indexing capacity to ~8.6 Gbp
-  (the C. elegans-scale rung ships 2.24 Gbp of reads, 4% over the old
-  unpacked int32 limit).  Offsets stay in CODE space; the window
-  builder slices packed bytes and unpacks in-program.
+  (the C. elegans-scale rungs ship 2.2-3.0 Gbp of reads, past the
+  unpacked int32 limit).  Per-read offsets ship SPLIT as (byte offset,
+  in-byte remainder) so no int32 code-space offset is ever formed; the
+  window builder slices packed bytes and unpacks in-program.
 * Window building, kernel invocation, and the continuation-round loop all
   run inside ONE jitted program (`lax.while_loop` around the Pallas call):
   zero host round-trips between rounds, one dispatch per batch.
@@ -53,15 +54,23 @@ def _wtoff(tb):
     return jnp.maximum((tb + 3 * BANDW - TW) // 128 * 128, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 13))
-def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
+@functools.partial(jax.jit, static_argnums=(0, 1, 14))
+def _align_batch_fused(nitems: int, k: int, codes, offB, offR, lengths,
                        qidx, tidx, begQ, begT, matv, misv, gapv, dropv,
                        interpret: bool = False):
     """One fused dispatch: geometry + seed check + window build + kernel +
     continuation rounds for `nitems`/2 pairs.  All int32.
 
     `codes` is the 2-bit PACKED flat code array (uint8, 4 bases/byte,
-    MSB-first — dna.pack_2bit layout); `offsets` are in code space.
+    MSB-first — dna.pack_2bit layout).  Per-read start offsets arrive
+    SPLIT as (`offB`, `offR`) = (code_offset >> 2, code_offset & 3): the
+    byte index stays < 2^31 up to ~8.6 Gbp, whereas a flat int32
+    code-space offset wraps negative past 2.147 Gbp (that overflow
+    silently failed every seed check for reads past the boundary — the
+    C. elegans-30X rung lost the last 28.5% of its genome to it).
+    All in-read positions are < 2^31, so `offR + pos` is int32-safe and
+    two's-complement `>> 2` / `& 3` recover (byte, bit) exactly, for
+    negative window overhang too.
 
     Returns (P, 8) int32: score, begQ, endQ, begT, endT, rc, overflow,
     seed_ok.
@@ -70,15 +79,18 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     i32 = jnp.int32
     khalf = k >> 1
 
-    offQ = offsets[qidx]
-    offT = offsets[tidx]
+    offQB = offB[qidx]
+    offQR = offR[qidx]
+    offTB = offB[tidx]
+    offTR = offR[tidx]
     lenQ = lengths[qidx]
     lenT = lengths[tidx]
 
-    def _pcode(g):
-        """code at flat (code-space) global index g, from packed bytes."""
-        byte = codes[g >> 2].astype(i32)
-        return (byte >> (6 - 2 * (g & 3))) & 3
+    def _pcode(ob, l):
+        """code at local (code-space) position l of the read whose packed
+        byte offset is ob; l already includes the &3 remainder."""
+        byte = codes[ob + (l >> 2)].astype(i32)
+        return (byte >> (6 - 2 * (l & 3))) & 3
 
     def _b(v, pos):
         """broadcast a per-pair (P,) vector against a (P, ...) pos array"""
@@ -86,12 +98,12 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
 
     def qcode(pos):
         """q code at read-coordinate pos (clipped inside the read)."""
-        return _pcode(_b(offQ, pos)
-                      + jnp.clip(pos, 0, _b(lenQ, pos) - 1))
+        return _pcode(_b(offQB, pos),
+                      _b(offQR, pos) + jnp.clip(pos, 0, _b(lenQ, pos) - 1))
 
     def tcode(pos):
-        return _pcode(_b(offT, pos)
-                      + jnp.clip(pos, 0, _b(lenT, pos) - 1))
+        return _pcode(_b(offTB, pos),
+                      _b(offTR, pos) + jnp.clip(pos, 0, _b(lenT, pos) - 1))
 
     # strand guess from the seed midpoint (reference XDropAligner.cpp:248)
     rc = qcode(begQ + khalf) != tcode(begT + khalf)
@@ -100,8 +112,9 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     def teff(pos):
         """t code on the effective (possibly revcomp'd) strand."""
         p = jnp.clip(pos, 0, _b(lenT, pos) - 1)
-        fwd = _pcode(_b(offT, pos) + p)
-        rev = 3 - _pcode(_b(offT, pos) + (_b(lenT, pos) - 1 - p))
+        fwd = _pcode(_b(offTB, pos), _b(offTR, pos) + p)
+        rev = 3 - _pcode(_b(offTB, pos),
+                         _b(offTR, pos) + (_b(lenT, pos) - 1 - p))
         return jnp.where(_b(rc, pos), rev, fwd)
 
     # exact seed verification (reference :250-254)
@@ -154,26 +167,32 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
     endQ_i = endQ[pair_s]
     begTs_i = begT_s[pair_s]
     endTs_i = endT_s[pair_s]
-    offQ_i = offQ[pair_s]
-    offT_i = offT[pair_s]
+    offQB_i = offQB[pair_s]
+    offQR_i = offQR[pair_s]
+    offTB_i = offTB[pair_s]
+    offTR_i = offTR[pair_s]
     lenQ_i = lenQ[pair_s]
     lenT_i = lenT[pair_s]
     rc_i = rc[pair_s]
 
-    def rows_of(starts, width: int):
+    def rows_of(byte_off, local, width: int):
         """Fetch a contiguous `width`-code run per item from the packed
-        array: slice width//4+1 bytes at start>>2, unpack (MSB-first),
-        then slice `width` codes at start&3.  The +1-byte overread is
-        covered by the packed array's trailing safety byte."""
+        array.  The start is (per-read byte offset, local code position):
+        slice width//4+1 bytes at byte_off + (local >> 2), unpack
+        (MSB-first), then slice `width` codes at local&3.  `local` may be
+        negative (window overhang into the WINPAD slack); arithmetic
+        shift/mask floor correctly and the summed byte index stays >= 0.
+        The +1-byte overread is covered by the trailing safety byte."""
         nb = width // 4 + 1
         sh = jnp.arange(4, dtype=i32) * 2
 
-        def one(s):
-            b = jax.lax.dynamic_slice(codes, (s >> 2,), (nb,)).astype(i32)
+        def one(ob, l):
+            b = jax.lax.dynamic_slice(
+                codes, (ob + (l >> 2),), (nb,)).astype(i32)
             c = ((b[:, None] >> (6 - sh)[None, :]) & 3).reshape(nb * 4)
-            return jax.lax.dynamic_slice(c, (s & 3,), (width,))
+            return jax.lax.dynamic_slice(c, (l & 3,), (width,))
 
-        return jax.vmap(one)(starts)
+        return jax.vmap(one)(byte_off, local)
 
     def build_windows(qoffs, toffs):
         """QS[j] = q_item[qoff + j - 1]; TSR[j] = t_item[tanch - toff - j].
@@ -193,21 +212,20 @@ def _align_batch_fused(nitems: int, k: int, codes, offsets, lengths,
         bounds (new_min >= adn+2-rows, new_max <= cols) keep every
         semantically consumed cell in-sequence, so results are identical
         (asserted bit-for-bit by tests/test_xdrop_device.py)."""
-        start_q = jnp.where(isl_s, offQ_i + begQ_s - qoffs - (QW - 1),
-                            offQ_i + endQ_i + qoffs - 1)
-        qrows = rows_of(start_q, QW)
+        local_q = jnp.where(isl_s, begQ_s - qoffs - (QW - 1),
+                            endQ_i + qoffs - 1)
+        qrows = rows_of(offQB_i, offQR_i + local_q, QW)
         qw = jnp.where(isl_s[:, None], jnp.flip(qrows, 1), qrows)
 
         # target slice start by (is_left, rc); s0/s1_0 are the local
         # source indices at window lane 0 of the ascending/descending runs
         s0 = begTs_i - 1 - tanch_s + toffs
         s1_0 = endTs_i + tanch_s - toffs
-        start_t = jnp.where(
+        local_t = jnp.where(
             isl_s,
-            jnp.where(rc_i, offT_i + lenT_i - TW - s0, offT_i + s0),
-            jnp.where(rc_i, offT_i + lenT_i - 1 - s1_0,
-                      offT_i + s1_0 - (TW - 1)))
-        trows = rows_of(start_t, TW)
+            jnp.where(rc_i, lenT_i - TW - s0, s0),
+            jnp.where(rc_i, lenT_i - 1 - s1_0, s1_0 - (TW - 1)))
+        trows = rows_of(offTB_i, offTR_i + local_t, TW)
         flip_t = isl_s == rc_i
         trows = jnp.where(flip_t[:, None], jnp.flip(trows, 1), trows)
         tw = jnp.where(rc_i[:, None], 3 - trows, trows)
@@ -362,10 +380,13 @@ class DeviceAligner:
         packed = np.concatenate([pack_2bit(codes), np.zeros(1, np.uint8)])
         assert packed.size < 2 ** 31, \
             "packed code array must fit int32 indexing (~8.6 Gbp)"
+        # offsets ship split as (byte, remainder): a flat int32 code-space
+        # offset wraps past 2.147 Gbp, the byte index is safe to ~8.6 Gbp
+        off = readset.offsets.astype(np.int64) + winpad
         self._dev = dict(
             codes=jax.device_put(packed),
-            offsets=jax.device_put(
-                (readset.offsets + winpad).astype(np.int32)),
+            offB=jax.device_put((off >> 2).astype(np.int32)),
+            offR=jax.device_put((off & 3).astype(np.int32)),
             lengths=jax.device_put(readset.lengths.astype(np.int32)),
         )
         self._key = key
@@ -424,7 +445,8 @@ class DeviceAligner:
                 st[:Pn] = seedT[sel]
                 res = _align_batch_fused(
                     2 * B, int(k), self._dev["codes"],
-                    self._dev["offsets"], self._dev["lengths"],
+                    self._dev["offB"], self._dev["offR"],
+                    self._dev["lengths"],
                     jnp.asarray(qb), jnp.asarray(tb),
                     jnp.asarray(sq), jnp.asarray(st),
                     jnp.int32(mat), jnp.int32(mis), jnp.int32(gap),

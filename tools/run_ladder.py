@@ -301,8 +301,17 @@ def stage_align(args):
               for f in fields}
     np.savez(os.path.join(d, "R.npz"), q=qi, t=ti, seedQ=seedQ,
              seedT=seedT, **merged)
+    # seeds come from exact k-mer matches, so a failed seed check
+    # (score == -1) means an aligner-side bug -- the int32 code-offset
+    # wrap silently failed EVERY pair past 2.147 Gbp until this stat
+    # existed.  Scream if more than a trace fails.
+    seed_fail = int(np.sum(merged["score"] < 0)) if n else 0
+    if seed_fail > max(64, n // 10000):
+        print(f"[stage align] WARNING: {seed_fail}/{n} pairs failed the "
+              "seed check -- aligner bug?", flush=True)
     with open(os.path.join(d, "align.json"), "w") as f:
-        json.dump(dict(pairs=n, resumed_parts=done_parts), f)
+        json.dump(dict(pairs=n, resumed_parts=done_parts,
+                       seed_fail=seed_fail), f)
 
 
 def stage_graph(args):
