@@ -42,6 +42,30 @@ def symmetricize(R: COOMatrix) -> COOMatrix:
     return R.add_keep_lhs(RT)
 
 
+def _transitive_mask_native(S: COOMatrix) -> np.ndarray | None:
+    """Native OpenMP marking kernel (native/trmark.cpp): same marks as
+    _transitive_mask, computed per middle vertex with two-pointer sorted
+    intersections instead of materialized product lists.  Returns None
+    when the native library is unavailable."""
+    from ..native.loader import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    rows = np.ascontiguousarray(S.rows, dtype=np.int64)
+    cols = np.ascontiguousarray(S.cols, dtype=np.int64)
+    dirs = np.ascontiguousarray(S.vals["direction"], dtype=np.int8)
+    suffix = np.ascontiguousarray(S.vals["suffix"], dtype=np.int32)
+    mark = np.zeros(S.nnz, dtype=np.uint8)
+    lib.tr_mark(rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                suffix.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                np.int64(S.nnz), np.int64(S.shape[0]), np.int32(TR_FUZZ),
+                mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return mark.view(bool)
+
+
 def _transitive_mask(S: COOMatrix) -> np.ndarray:
     """bool[S.nnz]: edges the min-plus marking step declares transitive.
 
@@ -111,7 +135,9 @@ def transitive_reduction(R: COOMatrix) -> COOMatrix:
     n = np.int64(S.shape[0])
     skey = S.key()
 
-    transitive = _transitive_mask(S)
+    transitive = _transitive_mask_native(S)
+    if transitive is None:
+        transitive = _transitive_mask(S)
     # symmetricize the marks (I += I^T, reference :69-74)
     tkey = S.rows[transitive] * n + S.cols[transitive]
     idx = np.minimum(np.searchsorted(skey, tkey), max(S.nnz - 1, 0))

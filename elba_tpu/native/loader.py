@@ -15,7 +15,8 @@ import threading
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_elba_native.so")
 _SRCS = [os.path.join(_HERE, "fastaio.cpp"),
-         os.path.join(_HERE, "kmercount.cpp")]
+         os.path.join(_HERE, "kmercount.cpp"),
+         os.path.join(_HERE, "trmark.cpp")]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -65,6 +66,10 @@ def get_lib():
         lib.kmer_count_reliable.argtypes = [p8, pi64, i64, i64, i64, i64,
                                             pi64, pi64, p32, pu64, pi64]
         lib.kmer_count_reliable.restype = i64
+        p8i = ctypes.POINTER(ctypes.c_int8)
+        lib.tr_mark.argtypes = [pi64, pi64, p8i, p32, i64, i64,
+                                ctypes.c_int32, p8]
+        lib.tr_mark.restype = None
         _lib = lib
         return _lib
 

@@ -339,3 +339,26 @@ def test_partitioned_contigs_match_single_part():
     # greedy packing puts the three contigs on three different parts
     assign = greedy_partition_contigs(np.array([4, 3, 2]), 3)
     assert sorted(assign.tolist()) == [0, 1, 2]
+
+
+def test_transitive_mask_native_vs_numpy(rng):
+    """The OpenMP marking kernel (native/trmark.cpp) produces exactly the
+    numpy masked-marking mask on larger random symmetric graphs."""
+    from elba_tpu.graph.tr import _transitive_mask, _transitive_mask_native
+    for trial in range(4):
+        n = int(rng.integers(200, 600))
+        m = int(rng.integers(4 * n, 10 * n))
+        seen = set()
+        edges = []
+        for _ in range(m):
+            i, j = rng.integers(0, n, 2)
+            if i == j or (min(i, j), max(i, j)) in seen:
+                continue
+            seen.add((min(i, j), max(i, j)))
+            edges.append((min(i, j), max(i, j), overlap_edge(
+                int(rng.integers(0, 1500)), int(rng.integers(0, 1500)),
+                int(rng.integers(-1, 4)), int(rng.integers(-1, 4)))))
+        S = symmetricize(mk_overlap_matrix(n, edges))
+        native = _transitive_mask_native(S)
+        assert native is not None
+        assert np.array_equal(native, _transitive_mask(S))
