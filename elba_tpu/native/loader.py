@@ -16,7 +16,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_elba_native.so")
 _SRCS = [os.path.join(_HERE, "fastaio.cpp"),
          os.path.join(_HERE, "kmercount.cpp"),
-         os.path.join(_HERE, "trmark.cpp")]
+         os.path.join(_HERE, "trmark.cpp"),
+         os.path.join(_HERE, "kmerindex.cpp")]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -70,6 +71,8 @@ def get_lib():
         lib.tr_mark.argtypes = [pi64, pi64, p8i, p32, i64, i64,
                                 ctypes.c_int32, p8]
         lib.tr_mark.restype = None
+        lib.genome_kmer_index.argtypes = [p8, i64, i64, pu64, pi64]
+        lib.genome_kmer_index.restype = None
         _lib = lib
         return _lib
 

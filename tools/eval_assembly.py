@@ -45,17 +45,51 @@ def n50(lengths):
     return 0
 
 
+def pack_windows(codes, k, starts):
+    """Packed forward k-mers at the given window starts only (the
+    evaluator samples ~200 anchors per contig; packing every window of a
+    chromosome-size contig costs ~30s per strand for nothing)."""
+    idx = starts[:, None] + np.arange(k)[None, :]
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+    return np.bitwise_or.reduce(
+        codes[idx].astype(np.uint64) << shifts[None, :], axis=1)
+
+
+def _genome_index(gcodes, k):
+    """(sorted k-mer keys, matching first-occurrence-ordered positions).
+    Native rolling pack + parallel stable sort when available (~5x the
+    numpy pack + stable argsort at 10^8 k-mers); numpy fallback is
+    bit-identical."""
+    total = len(gcodes) - k + 1
+    if total <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    from elba_tpu.native.loader import get_lib
+    lib = get_lib()
+    if lib is not None and k <= 32:
+        import ctypes
+        keys = np.empty(total, np.uint64)
+        pos = np.empty(total, np.int64)
+        g = np.ascontiguousarray(gcodes, dtype=np.uint8)
+        lib.genome_kmer_index(
+            g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int64(len(g)), np.int64(k),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return keys, pos
+    gk = pack_kmers_ref(gcodes, k)
+    order = np.argsort(gk, kind="stable").astype(np.int64)
+    return gk[order], order
+
+
 def evaluate(contigs_path, genome_path, k=31):
     contigs = read_fasta(contigs_path)
     genome = read_fasta(genome_path)
     gcodes = np.concatenate([ascii_to_codes(s) for s in genome.values()])
     glen = len(gcodes)
-    gk = pack_kmers_ref(gcodes, k)
     # first-occurrence k-mer -> position lookup as a sorted array (a
     # Python dict over a 10^8-k-mer genome costs tens of GB and minutes;
-    # stable argsort keeps the lowest position first among equal values)
-    order = np.argsort(gk, kind="stable")
-    gk_sorted = gk[order]
+    # stable sort keeps the lowest position first among equal values)
+    gk_sorted, order = _genome_index(gcodes, k)
 
     def lookup(vals):
         """position of each value's first genome occurrence, or -1."""
@@ -71,8 +105,11 @@ def evaluate(contigs_path, genome_path, k=31):
         hits = []
         for strand in range(2):
             cc = c if strand == 0 else (3 - c[::-1]).astype(np.uint8)
-            ck = pack_kmers_ref(cc, k)
-            sample = ck[::max(1, len(ck) // 200)]
+            nwin = len(cc) - k + 1
+            if nwin <= 0:
+                continue
+            starts = np.arange(0, nwin, max(1, nwin // 200))
+            sample = pack_windows(cc, k, starts)
             gpos = lookup(sample)
             pos = [(p, int(g)) for p, g in enumerate(gpos) if g >= 0]
             if len(pos) > len(hits):
