@@ -451,6 +451,7 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
     span = max(2 * upper - 1 if full else upper - 1, 1)
     for _ in range(max_retries):
         state = None
+        overflowed = False
         for part in parts_fn():
             N = int(part["km"].shape[0])
             CI = max((1 << 26) // span, 1 << 18)
@@ -475,9 +476,27 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                                       two_seeds=two_seeds)
                 start += steps
             del rows, pos_p, gid_p, part
-        res = _finalize_state(state, min_shared=min_shared)
-        if int(res["stats"]["overflow"]) == 0:
-            return res
+            # Drain the dispatch pipeline before pulling the next part:
+            # TPU buffers are allocated at ENQUEUE time, so without this
+            # barrier the next part's (or next grouped sweep's) multi-GB
+            # buffers allocate while this part's donated/dropped buffers
+            # are still held by in-flight executions — at chr1 scale
+            # (107 x 128M-slot parts) that overlap OOMs the 16GB HBM.
+            # Device work is serialized, so blocking costs nothing.
+            jax.block_until_ready(state)
+            # state[5] is the running overflow count: bail to the doubled
+            # cap after ONE overflowing part instead of finishing (and
+            # then re-running) every remaining part — at 100+ parts the
+            # difference is hours.  The scalar fetch is free (just
+            # synced).
+            if int(state[5]) > 0:
+                overflowed = True
+                break
+        if not overflowed:
+            res = _finalize_state(state, min_shared=min_shared)
+            if int(res["stats"]["overflow"]) == 0:
+                return res
+        del state
         out_cap *= 2
     raise RuntimeError(
         f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")

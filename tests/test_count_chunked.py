@@ -96,3 +96,13 @@ def test_spgemm_from_parts_matches_single(rng):
     assert len(b0["q"]) > 0
     for f in b0:
         assert np.array_equal(b0[f], b1[f]), f
+    # a tiny accumulator forces the early-bail overflow retry (doubling
+    # until the pair set fits); the result must still be bit-identical
+    b2 = device_result_to_host(
+        spgemm_from_count_parts(
+            lambda: iter_count_parts(rs, k, lower, upper, parts=4,
+                                     read_chunk=8),
+            upper, min_shared=2, full=False, out_cap=64, max_retries=12),
+        min_shared=2)
+    for f in b0:
+        assert np.array_equal(b0[f], b2[f]), f

@@ -218,10 +218,20 @@ def stage_count(args):
                 tp = time.time()
                 yield res
 
+        # B-accumulator capacity: the default (16.7M pairs) fit
+        # C. elegans-30X (11.2M nnz ~= reads * coverage, the expected
+        # overlapping-pair count) but chr1-scale rungs hold ~2x the
+        # distinct pairs; an overflow re-runs counting parts, so pre-size
+        # at giant rungs.  Every chunk step re-sorts the accumulator, so
+        # oversizing is not free — spgemm_from_count_parts detects
+        # overflow after ONE part and retries doubled, bounding the
+        # mis-estimate cost.
         print(f"[stage count] multi-pass counting: {parts} parts, "
               f"{total_inst} raw instances", flush=True)
+        b_cap = (1 << 25) if total_inst > 3_000_000_000 else 0
         bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
                                        min_shared=2, full=False,
+                                       out_cap=b_cap,
                                        stage_chunks=4, two_seeds=False)
         nk, nnz = agg["nk"], agg["nnz"]
         t_count = 0.0  # interleaved with the multiply; reported there
