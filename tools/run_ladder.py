@@ -131,20 +131,24 @@ def stage_count(args):
         readset.lengths.astype(np.int64) - (params.k - 1), 0).sum())
     parts = args.count_parts
     if parts == 0 and slots > 220_000_000:
-        # per-part budget 60M instances -> cap ~= 1.6*60M/1 + 33M = ~129M
-        # buffer slots.  A 90M budget (cap ~177M) was tried and the
-        # REMOTE COMPILE HELPER gets OOM-SIGKILLed compiling the part
-        # program at that shape (2026-08-18, both attempts) -- the bound
-        # is the tunnel's compile host, not HBM.  Passes re-sweep the
-        # whole read array, so the budget divides the count stage's
-        # redundant work; revisit if the compile helper gets more memory.
-        # One SHARED cap shape (61*2^21 slots, just under the compile
-        # bound) for every auto-sized rung: the finalize / fallback /
-        # SpGEMM-relayout programs are keyed by the part buffer shape, so
-        # a fixed cap means later rungs reuse the compilation cache
-        # instead of paying ~10 min of fresh remote compiles each.
-        cap_target = 61 << 21
-        budget = (cap_target - 34_000_000) * 10 // 16  # /1.6 slack
+        # Fixed per-part budget of 58M instances.  parts =
+        # ceil(total/budget) makes every auto-sized part's fill <= budget
+        # BY CONSTRUCTION (inverse-CDF boundaries equalize expected load),
+        # so the buffer cap only needs ~5% skew slack plus the 34M-slot
+        # append window — NOT the old 1.6x slack, which sized cap to
+        # 61<<21 (128M) and put 4 grouped buffers at 8.2GB: with the
+        # resident packed reads (1.6GB), fill temporaries (~2.5GB) and
+        # the cross-part SpGEMM accumulator, chr1-scale sweeps OOMed the
+        # 16GB HBM (measured 2026-08-18).  The tighter cap (~95M) also
+        # halves the SpGEMM relayout pad (2^27 vs 2^28 slots).
+        # One SHARED cap shape for every auto-sized rung: the finalize /
+        # fallback / SpGEMM-relayout programs are keyed by the part
+        # buffer shape, so a fixed cap means later rungs reuse the
+        # compilation cache instead of paying ~10 min of fresh remote
+        # compiles each.  (Compile-helper bound: sorts past ~130M slots
+        # OOM the remote compile host — 95M is well inside.)
+        budget = 58_000_000
+        cap_target = -(-(budget * 105 // 100 + 34_000_000) // 1024) * 1024
         parts = max(2, -(-total_inst // budget))
         count_cap = cap_target
     else:
