@@ -402,6 +402,10 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
     two_seeds=False skips the fold-last seed payload in the hot sorts
     (s1 mirrors s0) -- use when only seeds[0] is consumed downstream."""
     assert upper <= 256
+    if int(jnp.max(count_res["pos"])) >= (1 << PACK):
+        raise ValueError(
+            "seed positions >= 2^15: the packed-seed device SpGEMM "
+            "supports reads shorter than 32k bases; use the host path")
     N = int(count_res["rid"].shape[0])
     span = max(2 * upper - 1 if full else upper - 1, 1)
     CI = max((1 << 26) // span, 1 << 18)
@@ -453,6 +457,11 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
         state = None
         overflowed = False
         for part in parts_fn():
+            if int(jnp.max(part["pos"])) >= (1 << PACK):
+                raise ValueError(
+                    "seed positions >= 2^15: the packed-seed device "
+                    "SpGEMM supports reads shorter than 32k bases; use "
+                    "the host path")
             N = int(part["km"].shape[0])
             CI = max((1 << 26) // span, 1 << 18)
             CI = min(CI, _pow2(max(N, 1 << 10)))
@@ -506,8 +515,9 @@ def device_result_to_host(res, min_shared: int = 2):
     """Fetch the compacted B as numpy SoA (q, t, numshared, seeds).
 
     The accumulator is head-compacted, so only the first `pairs` slots are
-    occupied; slice on device before fetching (the tunnel moves ~1 MB/s,
-    so fetching the full capacity would dwarf the compute)."""
+    occupied; slice on device before fetching (the tunnel moves ~20-25
+    MB/s device->host, so fetching the mostly-empty full capacity would
+    add tens of seconds for nothing)."""
     n = int(res["stats"]["pairs"])
     t = np.asarray(res["t"][:n])
     keep = np.flatnonzero((t != SENT) & (np.asarray(res["numshared"][:n])

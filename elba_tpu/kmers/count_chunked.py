@@ -47,6 +47,18 @@ from .extract import extract_canonical_kmers
 
 SENTK = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
+# Largest part-buffer sort shape the REMOTE COMPILE HELPER survives: a
+# 177M-slot part program (and a 128M-slot probe sort) got the helper
+# OOM-SIGKILLed, while this shape compiles fine (measured 2026-08-18,
+# CLAUDE.md).  Overflow retries double capacity UP TO this bound and then
+# fail loudly instead of minting an uncompilable shape.
+COMPILE_CAP = 61 << 21
+
+
+def _grow_cap(cap: int) -> int:
+    """Next retry capacity: doubled, 1024-aligned, clamped to COMPILE_CAP."""
+    return min(-(-2 * cap // 1024) * 1024, COMPILE_CAP)
+
 
 def pack_code_rows(codes: np.ndarray) -> np.ndarray:
     """Pack [R, L] per-base codes into [R, L//4] bytes (4 bases/byte,
@@ -222,10 +234,14 @@ def iter_count_parts(readset, k: int, lower: int, upper: int,
             if not bool(res["overflow"]):
                 break
             del res
-            part_cap = -(-2 * part_cap // 1024) * 1024
+            if part_cap >= COMPILE_CAP:
+                raise RuntimeError(
+                    f"count part {p} overflowed at the compile-bound cap "
+                    f"{part_cap}; rerun with more parts")
+            part_cap = _grow_cap(part_cap)
         else:
             raise RuntimeError(
-                f"count part {p} overflowed cap={part_cap // 2}")
+                f"count part {p} overflowed cap={part_cap}")
         nk_off += int(res["nk"])
         yield res
 

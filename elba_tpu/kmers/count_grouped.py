@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .count import KmerMatrix
-from .count_chunked import (SENTK, _count_part, pack_code_rows, plan_parts,
-                            unpack_code_rows)
+from .count_chunked import (COMPILE_CAP, SENTK, _count_part, _grow_cap,
+                            pack_code_rows, plan_parts, unpack_code_rows)
 from .extract import extract_canonical_kmers
 
 
@@ -222,7 +222,10 @@ def iter_count_parts_grouped(readset, k: int, lower: int, upper: int,
                 lo = jnp.uint64(bounds[p])
                 hi = (SENTK if p == parts - 1
                       else jnp.uint64(bounds[p + 1]))
-                part_cap = -(-2 * cap // 1024) * 1024
+                # doubled cap, clamped to the remote compile helper's
+                # survivable sort shape — past it the fallback would mint
+                # an uncompilable program instead of recovering
+                part_cap = _grow_cap(cap)
                 for attempt in range(max_retries):
                     res = _count_part(codes_d, lengths_d, lo, hi,
                                       jnp.int32(nk_off), k, lower, upper,
@@ -230,10 +233,15 @@ def iter_count_parts_grouped(readset, k: int, lower: int, upper: int,
                     if not bool(res["overflow"]):
                         break
                     del res
-                    part_cap = -(-2 * part_cap // 1024) * 1024
+                    if part_cap >= COMPILE_CAP:
+                        raise RuntimeError(
+                            f"count part {p} overflowed at the "
+                            f"compile-bound cap {part_cap}; rerun with "
+                            f"more parts")
+                    part_cap = _grow_cap(part_cap)
                 else:
                     raise RuntimeError(
-                        f"count part {p} overflowed cap={part_cap // 2}")
+                        f"count part {p} overflowed cap={part_cap}")
                 nk_off += int(res["nk"])
                 yield res
             continue

@@ -4,9 +4,12 @@ of the reference's script/analysis.sh, self-contained: QUAST/minimap2 are
 not available in this environment).
 
 Anchors contigs on the reference via exact k-mer matching (both strands)
-and reports: contig count, total length, largest contig, N50, genome
-fraction (reference positions covered by anchored contig spans), and
-per-contig anchor identity.
+and reports: contig count, total length, largest contig, N50, and genome
+fraction.  A reference span only counts as covered between CONSECUTIVE
+sampled anchors whose implied alignment diagonal agrees (tolerance scales
+with the gap to absorb indel drift) — a single spurious anchor (repeat
+hit, or a hit past a chromosome junction in the concatenated coordinate
+space) cannot inflate the fraction.
 
 Usage: python tools/eval_assembly.py contigs.fa genome.fa [k]
 """
@@ -93,9 +96,11 @@ def evaluate(contigs_path, genome_path, k=31):
 
     def lookup(vals):
         """position of each value's first genome occurrence, or -1."""
+        if len(gk_sorted) == 0:
+            return np.full(len(vals), -1, np.int64)
         idx = np.searchsorted(gk_sorted, vals, side="left")
         idx = np.minimum(idx, len(gk_sorted) - 1)
-        hit = (len(gk_sorted) > 0) & (gk_sorted[idx] == vals)
+        hit = gk_sorted[idx] == vals
         return np.where(hit, order[idx], -1)
 
     covered = np.zeros(glen, dtype=bool)
@@ -111,15 +116,31 @@ def evaluate(contigs_path, genome_path, k=31):
             starts = np.arange(0, nwin, max(1, nwin // 200))
             sample = pack_windows(cc, k, starts)
             gpos = lookup(sample)
-            pos = [(p, int(g)) for p, g in enumerate(gpos) if g >= 0]
+            pos = [(int(starts[p]), int(g))
+                   for p, g in enumerate(gpos) if g >= 0]
             if len(pos) > len(hits):
                 hits = pos
-                best = cc
         if hits:
             anchored += 1
-            lo = max(0, min(h[1] for h in hits))
-            hi = min(glen, max(h[1] for h in hits) + k)
-            covered[lo:hi] = True
+            cpos = np.array([c for c, _ in hits], dtype=np.int64)
+            gp = np.array([g for _, g in hits], dtype=np.int64)
+            o = np.argsort(cpos)
+            cpos, gp = cpos[o], gp[o]
+            # every anchor covers its own k-mer
+            for g in gp:
+                covered[max(0, int(g)):min(glen, int(g) + k)] = True
+            # the gap between consecutive anchors counts only when their
+            # alignment diagonals agree (drift bound: 2% of the contig
+            # gap + slack, absorbing indel error without letting one
+            # spurious anchor span megabases)
+            diag = gp - cpos
+            dc = np.diff(cpos)
+            ok = np.abs(np.diff(diag)) <= np.maximum(1000,
+                                                     dc * 2 // 100 + 64)
+            for i in np.flatnonzero(ok):
+                lo = max(0, int(min(gp[i], gp[i + 1])))
+                hi = min(glen, int(max(gp[i], gp[i + 1])) + k)
+                covered[lo:hi] = True
 
     lens = [len(s) for s in contigs.values()]
     return dict(
