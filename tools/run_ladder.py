@@ -58,6 +58,11 @@ def parse_args(argv=None):
     ap.add_argument("--stage", choices=["count", "align", "graph"],
                     default=None, help="internal: run one stage")
     ap.add_argument("--retries", type=int, default=4)
+    ap.add_argument("--stage-timeout", type=int, default=6 * 3600,
+                    help="kill + retry a stage subprocess after this many "
+                         "seconds (the tunnel's remote leg can hang "
+                         "forever; a killed stage resumes from its "
+                         "checkpoints)")
     ap.add_argument("--align-ckpt", type=int, default=65536)
     ap.add_argument("--count-parts", type=int, default=0,
                     help="force multi-pass counting with N k-mer value "
@@ -403,7 +408,7 @@ def orchestrate(args):
     base = [sys.executable, os.path.abspath(__file__)]
     fwd = []
     for k, v in vars(args).items():
-        if k in ("staged", "stage", "retries"):
+        if k in ("staged", "stage", "retries", "stage_timeout"):
             continue
         flag = "--" + k.replace("_", "-")
         if isinstance(v, bool):
@@ -422,12 +427,19 @@ def orchestrate(args):
             continue
         t0 = time.time()
         for attempt in range(args.retries):
-            r = subprocess.run(base + fwd + ["--stage", stage])
-            if r.returncode == 0:
+            try:
+                r = subprocess.run(base + fwd + ["--stage", stage],
+                                   timeout=args.stage_timeout)
+                rc = r.returncode
+            except subprocess.TimeoutExpired:
+                # dead tunnel leg: the child hangs on a device op forever;
+                # subprocess.run kills it on expiry, checkpoints survive
+                rc = "timeout"
+            if rc == 0:
                 break
             wait = 90 * (attempt + 1)
             print(f"[orchestrate] stage {stage} failed "
-                  f"(rc={r.returncode}, attempt {attempt + 1}/"
+                  f"(rc={rc}, attempt {attempt + 1}/"
                   f"{args.retries}); retrying in {wait}s", flush=True)
             time.sleep(wait)
         else:
