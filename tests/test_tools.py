@@ -39,6 +39,38 @@ def test_simulated_assembly_reconstructs_genome(sim_run):
     assert stats["largest"] > 8000, stats
 
 
+def test_eval_spurious_anchor_does_not_inflate_fraction(tmp_path):
+    """A contig equal to one genome segment plus ONE distant repeat
+    k-mer must cover only its true span: the diagonal-consistency rule
+    keeps the far anchor from marking the whole [min, max] range."""
+    rng = np.random.default_rng(7)
+    bases = "ACGT"
+    genome = "".join(bases[i] for i in rng.integers(0, 4, 200_000))
+    k = 31
+    # plant the SAME 31-mer at a position far from the contig's locus so
+    # the contig's sampled anchors include one distant hit
+    repeat = genome[1000:1000 + k]
+    genome = genome[:150_000] + repeat + genome[150_000 + k:]
+    contig = genome[500:10_500]
+    gpath, cpath = tmp_path / "g.fa", tmp_path / "c.fa"
+    gpath.write_text(f">g\n{genome}\n")
+    cpath.write_text(f">c\n{contig}\n")
+    stats = evaluate(str(cpath), str(gpath), k=k)
+    # true coverage = 10kb of 200kb = 5%; the naive [min, max] span rule
+    # would report ~75% (anchors at ~1k and ~150k)
+    assert stats["genome_fraction"] < 8.0, stats
+    assert stats["anchored_contigs"] == 1
+
+
+def test_eval_empty_genome_does_not_crash(tmp_path):
+    gpath, cpath = tmp_path / "g.fa", tmp_path / "c.fa"
+    gpath.write_text(">g\nACGT\n")   # shorter than k: empty index
+    cpath.write_text(">c\nACGTACGTACGTACGTACGTACGTACGTACGTACGT\n")
+    stats = evaluate(str(cpath), str(gpath), k=31)
+    assert stats["genome_fraction"] == 0.0
+    assert stats["anchored_contigs"] == 0
+
+
 def test_truth_overlap_recall(sim_run):
     """Every sufficiently-long true overlap must appear in R."""
     prefix, result = sim_run
