@@ -1,0 +1,650 @@
+"""Geometry-parameterized Pallas X-drop kernel (v4): narrow live bands.
+
+The v3 kernel (xdrop_pallas.py) provisions a 128-column band (WWIN=256
+lanes of vector state per item).  Measured live-band widths on ladder-like
+data are far smaller: p99 = 18 lanes at 0.5%-err/x=15, max 26 even at
+x=25 / 3% err (band width is bounded by ~2*dropoff/|gap| except through
+tandem repeats).  Every substep op scales with WWIN, so a 32-lane band in
+a 128-lane window halves the per-antidiagonal vector work; the rare wider
+band sets the overflow flag and the caller falls back exactly as before.
+
+This module is the v3 kernel generalized over a `Geometry`:
+
+* bandw: live-band capacity in lanes (overflow above this);
+* wwin:  per-item column-window width (multiple of 128, >= 2*bandw).
+  The band advances wwin - 2*bandw + 1 columns minimum between outer
+  re-anchor trips;
+* twr:   target register width (roll budget twr - wwin antidiagonals);
+* sub/unroll/refetch_batch: block shape and loop amortization.
+
+bandw below 128 breaks the v3 assumption that window fetch offsets are
+lane-aligned: Mosaic requires lane-dim dynamic slice starts provably
+128-aligned, but a 32-aligned band base is not.  Fetches here are made at
+the 128-aligned floor and rotated into place in registers (dynamic
+pltpu.roll), with +128 lanes of fetch slack in the q window and the
+target roll-offset absorbing its misalignment (twr is sized so
+wwin - 1 + 3*bandw - 1 + 96 < twr keeps every rolled access in range).
+
+Algorithm, work decomposition, and exactness contract are identical to
+xdrop_pallas.py (reference: XDropAligner.cpp:46-206); the WIDE geometry
+below reproduces v3's shapes through this factory.  Kept separate from
+xdrop_pallas so the v3 module (and its compiled-program cache) stays
+byte-stable while variants are swept on the tunneled chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .xdrop_pallas import (
+    DONE, PAUSED, NEG_BIG,
+    P_COLS, P_ROWS, P_ACTIVE, P_GAP, P_MIS, P_UNDEF, P_INIT, P_MAT,
+    P_DROP, P_RESUME, P_QOFF, P_TOFF, P_TANCH, P_DELTA, P_MC0, P_XC0,
+    P_HI3, P_BEST0, P_BEC0, P_BER0, P_BES0,
+    S_STATUS, S_PAUSE,
+    O_BES, O_BEC, O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3, O_BEST,
+    O_ADN, O_ITERS, O_TRIPS,
+)
+
+INT_MIN = -(2**31)
+
+
+def _ceil128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    sub: int = 16            # items per grid block (int32 sublane tile)
+    unroll: int = 16         # antidiagonals per inner while iteration
+    refetch_batch: int = 6   # pending refetches before an outer trip
+    bandw: int = 32          # live-band capacity in lanes
+    wwin: int = 128          # column-window width (mult of 128, >= 2*bandw)
+    twr: int = 384           # target register width (mult of 128)
+    qwin: int = 2048         # guaranteed query progress per round
+
+    def __post_init__(self):
+        assert self.wwin % 128 == 0 and self.twr % 128 == 0
+        assert self.wwin >= 2 * self.bandw
+        assert self.bandw % 32 == 0
+        # every rolled target access must land inside the register:
+        # max initial roll offset = (3*bandw - 1) plus the bandw-aligned
+        # base's distance below its 128-aligned fetch floor
+        misalign = max(128 - self.bandw, 0)
+        assert self.wwin - 1 + 3 * self.bandw - 1 + misalign < self.twr, \
+            "twr too small for wwin/bandw"
+
+    @property
+    def qw(self) -> int:
+        # +128 fetch slack: window starts are fetched at the 128-aligned
+        # floor of the (bandw-aligned) band base
+        return _ceil128(self.qwin + self.wwin + 128)
+
+    @property
+    def tw(self) -> int:
+        return _ceil128(self.qwin + self.wwin + 3 * self.bandw + 128)
+
+
+# Narrow default: covers every band observed at ladder scoring
+# (p99 = 18 lanes at x=15, max 26 at x=25; capacity 32) with half the
+# per-substep vector work of v3.  Wider bands overflow to the fallback.
+NARROW = Geometry()
+
+# v3-equivalent shapes through this factory (band capacity 128).
+WIDE = Geometry(bandw=128, wwin=256, twr=640)
+
+
+def _make_kernel(g: Geometry):
+    SUB, UNROLL, REFETCH_BATCH = g.sub, g.unroll, g.refetch_batch
+    BANDW, WWIN, TWR = g.bandw, g.wwin, g.twr
+    QW, TW = g.qw, g.tw
+
+    def _align(x):
+        return (x // BANDW) * BANDW
+
+    def _kernel(params_ref, qw_ref, tw_ref, st_in_ref, out_ref, st_out_ref,
+                sc_ref, pack_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, WWIN), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+        rown = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+
+        def col(cix):
+            return params_ref[:, cix].reshape(SUB, 1)
+
+        colsv = col(P_COLS)
+        rowsv = col(P_ROWS)
+        gapv = col(P_GAP)
+        misv = col(P_MIS)
+        undefv = col(P_UNDEF)
+        initv = col(P_INIT)
+        matv = col(P_MAT)
+        dropv = col(P_DROP)
+        resv = col(P_RESUME)
+
+        # ---- state init (fresh vs resumed), all [SUB, 1] vectors ---------
+        res = resv != 0
+        mc0 = jnp.where(res, col(P_MC0), 1)
+        xc0 = jnp.where(res, col(P_XC0), 2)
+        hi30 = jnp.where(res, col(P_HI3), 1)
+        best0 = jnp.where(res, col(P_BEST0), 0)
+        cadn0 = jnp.where(res, col(P_BEC0) + col(P_BER0), 0)
+        cc0 = jnp.where(res, col(P_BEC0), 0)
+        cbes0 = jnp.where(res, col(P_BES0), 0)
+        adn0 = col(P_DELTA) + 2
+        act0 = col(P_ACTIVE) * jnp.where(
+            (colsv > 1) & (rowsv > 1) & (mc0 < xc0), 1, 0)
+        ovf0 = jnp.zeros((SUB, 1), jnp.int32)
+        base0 = (mc0 - 1) // BANDW * BANDW
+
+        fresh1 = jnp.where(lane == 0, 0, undefv)
+        fresh2 = jnp.where(lane <= 1, initv, undefv)
+        a1_0 = jnp.where(res, st_in_ref[:, 0, :], fresh1)
+        a2_0 = jnp.where(res, st_in_ref[:, 1, :], fresh2)
+
+        for s in range(SUB):
+            sc_ref[s, S_STATUS] = DONE
+            sc_ref[s, S_PAUSE] = 0
+
+        qreg0 = jnp.zeros((SUB, WWIN), jnp.int32)
+        treg0 = jnp.zeros((SUB, TWR), jnp.int32)
+        zc = jnp.zeros((SUB, 1), jnp.int32)
+        noev = jnp.full((SUB, WWIN), -1, jnp.int32)
+
+        def inner_cond(cy):
+            act, needf = cy[8], cy[12]
+            na, nf = jnp.sum(act), jnp.sum(needf)
+            return (na > 0) & (nf < REFETCH_BATCH) & (nf < na)
+
+        def inner_body(cy):
+            for _ in range(UNROLL):
+                cy = _substep(cy)
+            return cy[:19] + (cy[19] + 1, cy[20])
+
+        def _substep(cy):
+            (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5, base,
+             needf, a1, a2, qreg, treg, ladn, lbes, iters, trips) = cy
+            actb = (act > 0) & (needf == 0)
+            l3 = mc - 1
+            c = base + lane
+            cltxc = c < xc
+            cgemc = c >= mc
+            inner_m = cgemc & cltxc
+            bd = best - dropv
+
+            a2m1 = pltpu.roll(a2, 1, 1)
+            a1m1 = pltpu.roll(a1, 1, 1)
+            trow = treg[:, :WWIN]
+
+            sub = jnp.where(qreg == trow, matv, misv)
+            temp = jnp.maximum(jnp.maximum(a2m1, a2) + gapv, a1m1 + sub)
+            live = temp >= bd
+            cell = jnp.where(live & inner_m, temp, undefv)
+
+            gval = adn * gapv
+            bcond = gval > bd
+            b0 = jnp.where(bcond & (l3 == 0), gval, undefv)
+            b1 = jnp.where(bcond & (adn == xc), gval, undefv)
+            ceqxc = c == xc
+            ad3 = jnp.where(c == l3, b0, cell)
+            ad3 = jnp.where(ceqxc, b1, ad3)
+
+            upd = inner_m & (temp > best)
+            maxupd = jnp.max(jnp.where(upd, temp, NEG_BIG), axis=1,
+                             keepdims=True)
+            upd2 = upd & actb
+            ladn_n = jnp.where(upd2, adn, ladn)
+            lbes_n = jnp.where(upd2, temp, lbes)
+
+            keep = (cltxc | ceqxc) & (ad3 == undefv) & \
+                (c - 1 <= hi3) & (a2m1 == undefv)
+            stop = (~keep) & cgemc
+            first_stop = jnp.min(jnp.where(stop, c, 2**30), axis=1,
+                                 keepdims=True)
+
+            okd = (c >= l3) & cltxc & ((ad3 != undefv) | (a2 != undefv))
+            dmax = jnp.max(jnp.where(okd, c, l3 - 1), axis=1, keepdims=True)
+            ovf_now = jnp.where(xc - l3 + 1 > BANDW, 1, 0)
+
+            best_n = jnp.where(
+                actb, jnp.maximum(best, jnp.maximum(gval, maxupd)), best)
+            hi3_n = jnp.where(actb, xc, hi3)
+            new_min0 = jnp.maximum(jnp.minimum(first_stop, xc + 1), mc)
+            new_max0 = jnp.maximum(dmax + 1, l3) + 1
+            new_min = jnp.maximum(new_min0, adn + 2 - rowsv)
+            new_max = jnp.minimum(new_max0, colsv)
+            mc_n = jnp.where(actb, new_min, mc)
+            xc_n = jnp.where(actb, new_max, xc)
+            ovf_n = jnp.where(actb, ovf | ovf_now, ovf)
+            act_n = jnp.where(
+                actb, jnp.where((new_min < new_max) & (ovf_n == 0), 1, 0),
+                act)
+            adn_n = jnp.where(actb, adn + 1, adn)
+
+            a1_n = jnp.where(actb, a2, a1)
+            a2_n = jnp.where(actb, ad3, a2)
+            treg_n = jnp.where(actb, pltpu.roll(treg, 1, 1), treg)
+            offt5_n = jnp.where(actb, offt5 - 1, offt5)
+
+            needf_n = jnp.where(
+                actb,
+                jnp.where((act_n > 0) & ((mc_n - base > WWIN - BANDW)
+                                         | (offt5_n <= 0)), 1, 0),
+                needf)
+
+            return (adn_n, mc_n, xc_n, hi3_n, best_n, cadn, cc, cbes,
+                    act_n, ovf_n, offt5_n, base, needf_n, a1_n, a2_n,
+                    qreg, treg_n, ladn_n, lbes_n, iters, trips)
+
+        def merge_champ(cadn, cc, cbes, ladn, lbes, base):
+            m_adn = jnp.max(ladn, axis=1, keepdims=True)
+            has = m_adn >= 0
+            at = ladn == m_adn
+            m_cl = jnp.max(jnp.where(at, lane, -1), axis=1, keepdims=True)
+            m_bes = jnp.max(jnp.where(at & (lane == m_cl), lbes, NEG_BIG),
+                            axis=1, keepdims=True)
+            cadn = jnp.where(has, m_adn, cadn)
+            cc = jnp.where(has, base + m_cl, cc)
+            cbes = jnp.where(has, m_bes, cbes)
+            return cadn, cc, cbes
+
+        def outer_cond(cy):
+            return jnp.sum(cy[8]) > 0
+
+        def outer_body(cy):
+            (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5, base,
+             needf, a1, a2, qreg, treg, ladn, lbes, iters, trips) = cy
+
+            cadn, cc, cbes = merge_champ(cadn, cc, cbes, ladn, lbes, base)
+            ladn = noev
+
+            # re-anchor to the advanced bandw-aligned base; per-item delta
+            # is a multiple of bandw in (0, wwin]
+            nbase = (mc - 1) // BANDW * BANDW
+            refm = (act > 0) & (needf > 0)
+            delta = jnp.where(refm, nbase - base, 0)
+
+            def shift(x, d):
+                rolled = pltpu.roll(x, WWIN - d, 1)
+                return jnp.where(lane < WWIN - d, rolled, undefv)
+
+            def reanchor(x):
+                out = x
+                for m in range(1, WWIN // BANDW + 1):
+                    out = jnp.where(delta == m * BANDW,
+                                    shift(x, m * BANDW), out)
+                return out
+
+            a1 = reanchor(a1)
+            a2 = reanchor(a2)
+            base = jnp.where(refm, nbase, base)
+
+            pk = jnp.where(lane128 == 0, mc, 0)
+            pk = jnp.where(lane128 == 1, adn, pk)
+            pk = jnp.where(lane128 == 2, act, pk)
+            pk = jnp.where(lane128 == 3, needf, pk)
+            pack_ref[:, :] = pk
+
+            # ---- per-item refetch (only items whose flag is set) ----------
+            # Window starts are bandw-aligned but Mosaic lane-dim dynamic
+            # slices must be 128-aligned: fetch at the 128-aligned floor
+            # and rotate the remainder away in registers.
+            for s in range(SUB):
+                mc_s = pack_ref[s, 0]
+                adn_s = pack_ref[s, 1]
+                fetch = (pack_ref[s, 2] > 0) & (pack_ref[s, 3] > 0)
+                base_s = _align(mc_s - 1)
+                qoff_s = params_ref[s, P_QOFF]
+                toff_s = params_ref[s, P_TOFF]
+                tanch_s = params_ref[s, P_TANCH]
+                qs = base_s - qoff_s
+                jcb = tanch_s - adn_s + 1 + base_s
+                tb5 = _align(jcb) - 2 * BANDW
+                ts5 = tb5 - toff_s
+                pause = (qs < 0) | (qs > QW - WWIN - 128) | (ts5 < 0) | \
+                    (ts5 > TW - TWR - 128)
+
+                @pl.when(fetch & pause)
+                def _(s=s):
+                    sc_ref[s, S_STATUS] = PAUSED
+                    sc_ref[s, S_PAUSE] = 1
+
+                qs_c = jnp.clip(qs, 0, QW - WWIN - 128)
+                ts_c = jnp.clip(ts5, 0, TW - TWR - 128)
+                qs128 = pl.multiple_of(qs_c // 128 * 128, 128)
+                ts128 = pl.multiple_of(ts_c // 128 * 128, 128)
+                dq = qs_c - qs128
+                qwide = qw_ref[s, pl.ds(qs128, WWIN + 128)].astype(
+                    jnp.int32).reshape(1, WWIN + 128)
+                # rotate-left by dq, keep the first WWIN lanes
+                qrow = pltpu.roll(qwide, (WWIN + 128) - dq, 1)[:, :WWIN]
+                t5 = tw_ref[s, pl.ds(ts128, TWR)].astype(
+                    jnp.int32).reshape(1, TWR)
+                # the target pre-roll offset absorbs the fetch misalignment
+                # (ts_c - ts128 <= 96; twr is sized so every rolled access
+                # stays in range)
+                offt5_s = jcb - (toff_s + ts128)
+                t5r = pltpu.roll(t5, TWR - offt5_s, 1)
+
+                do = fetch & (~pause)
+                m = (rown == s) & do
+                qreg = jnp.where(m, qrow, qreg)
+                treg = jnp.where(m, t5r, treg)
+                base = jnp.where(m, base_s, base)
+                offt5 = jnp.where(m, offt5_s, offt5)
+                needf = jnp.where(m, 0, needf)
+
+            pv = zc
+            for s in range(SUB):
+                pv = jnp.where(rown == s, sc_ref[s, S_PAUSE], pv)
+            act = jnp.where(pv > 0, 0, act)
+            needf = jnp.where(pv > 0, 0, needf)
+            for s in range(SUB):
+                sc_ref[s, S_PAUSE] = 0
+
+            return jax.lax.while_loop(
+                inner_cond, inner_body,
+                (adn, mc, xc, hi3, best, cadn, cc, cbes, act, ovf, offt5,
+                 base, needf, a1, a2, qreg, treg, ladn, lbes, iters,
+                 trips + 1))
+
+        final = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (adn0, mc0, xc0, hi30, best0, cadn0, cc0, cbes0, act0, ovf0,
+             zc, base0, act0, a1_0, a2_0, qreg0, treg0, noev,
+             jnp.zeros((SUB, WWIN), jnp.int32), zc, zc))
+        (adn_f, mc_f, xc_f, hi3_f, best_f, cadn_f, cc_f, cbes_f, _, ovf_f,
+         _, base_f, _, a1_f, a2_f, _, _, ladn_f, lbes_f, iters_f,
+         trips_f) = final
+
+        cadn_f, cc_f, cbes_f = merge_champ(cadn_f, cc_f, cbes_f, ladn_f,
+                                           lbes_f, base_f)
+        bec_f = cc_f
+        ber_f = cadn_f - cc_f
+        bes_f = cbes_f
+
+        st_out_ref[:, 0, :] = a1_f
+        st_out_ref[:, 1, :] = a2_f
+        status = zc
+        for s in range(SUB):
+            status = jnp.where(rown == s, sc_ref[s, S_STATUS], status)
+        v = jnp.where(lane128 == O_BES, bes_f, 0)
+        v = jnp.where(lane128 == O_BEC, bec_f, v)
+        v = jnp.where(lane128 == O_BER, ber_f, v)
+        v = jnp.where(lane128 == O_OVF, ovf_f, v)
+        v = jnp.where(lane128 == O_STATUS, status, v)
+        v = jnp.where(lane128 == O_MC, mc_f, v)
+        v = jnp.where(lane128 == O_XC, xc_f, v)
+        v = jnp.where(lane128 == O_HI3, hi3_f, v)
+        v = jnp.where(lane128 == O_BEST, best_f, v)
+        v = jnp.where(lane128 == O_ADN, adn_f, v)
+        v = jnp.where(lane128 == O_ITERS, iters_f, v)
+        v = jnp.where(lane128 == O_TRIPS, trips_f, v)
+        out_ref[:, :] = v
+
+    return _kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _get_kernel(g: Geometry):
+    return _make_kernel(g)
+
+
+def pallas_extend_geom(g: Geometry, params, qw, tw, st_in,
+                       interpret: bool = False):
+    """Raw kernel invocation at geometry `g` (callable inside larger jitted
+    programs, like xdrop_pallas.pallas_extend)."""
+    SUB = g.sub
+    N = params.shape[0]
+    grid = (N // SUB,)
+    out, st_out = pl.pallas_call(
+        _get_kernel(g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((SUB, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, g.qw), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, g.tw), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 2, g.wwin), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 2, g.wwin), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, 128), jnp.int32),
+            jax.ShapeDtypeStruct((N, 2, g.wwin), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((SUB, 16), jnp.int32),
+            pltpu.VMEM((SUB, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, qw, tw, st_in)
+    return out, st_out
+
+
+_extend_geom_x32 = functools.partial(jax.jit, static_argnums=(0, 5))(
+    pallas_extend_geom)
+
+
+def xdrop_extend_items_geom(g, params, qw, tw, st_in, interpret=False):
+    with jax.enable_x64(False):
+        if params.shape[1] < 128:
+            params = jnp.pad(jnp.asarray(params),
+                             ((0, 0), (0, 128 - params.shape[1])))
+        return _extend_geom_x32(g, params, qw, tw, st_in, interpret)
+
+
+def xdrop_pairs_geom(g: Geometry, q, t, lenQ, lenT, begQ, begT, k, mat,
+                     mis, gap, dropoff, interpret=False):
+    """Host-driven batch driver at geometry `g` (test/sweep harness; the
+    production path is the fused device driver).  Same contract as
+    xdrop_pallas.xdrop_pairs_pallas."""
+    SUB, WWIN, TWR = g.sub, g.wwin, g.twr
+    QW, TW, BANDW = g.qw, g.tw, g.bandw
+    P, L = q.shape
+    lenQ = lenQ.astype(np.int64)
+    lenT = lenT.astype(np.int64)
+    begQ = begQ.astype(np.int64)
+    begT = begT.astype(np.int64)
+    ar = np.arange(P)
+
+    inb = (begQ >= 0) & (begQ + k <= lenQ) & (begT >= 0) & (begT + k <= lenT)
+    nz = ~((begQ == 0) & (begT == 0))
+    bq = np.clip(begQ, 0, L - 1)
+    bt = np.clip(begT, 0, L - 1)
+    rc = q[ar, np.clip(bq + (k >> 1), 0, L - 1)] != \
+        t[ar, np.clip(bt + (k >> 1), 0, L - 1)]
+
+    j = np.arange(L)
+    ridx = np.clip(lenT[:, None] - 1 - j[None, :], 0, L - 1)
+    t_rc = (3 - np.take_along_axis(t, ridx, axis=1)).astype(t.dtype)
+    t_eff = np.where(rc[:, None], t_rc, t)
+    begT_s = np.where(rc, lenT - begT - k, begT)
+
+    offs = np.arange(k)
+    qwd = np.take_along_axis(
+        q, np.clip(bq[:, None] + offs[None, :], 0, L - 1), axis=1)
+    twd = np.take_along_axis(
+        t_eff, np.clip(begT_s[:, None] + offs[None, :], 0, L - 1), axis=1)
+    seed_ok = (qwd == twd).all(axis=1) & inb & nz
+
+    endQ = begQ + k
+    endT_s = begT_s + k
+
+    n_items = 2 * P
+    cols = np.empty(n_items, np.int64)
+    rows = np.empty(n_items, np.int64)
+    cols[0::2] = begQ + 1
+    rows[0::2] = begT_s + 1
+    cols[1::2] = lenQ - endQ + 1
+    rows[1::2] = lenT - endT_s + 1
+    cols = np.maximum(cols, 1)
+    rows = np.maximum(rows, 1)
+
+    tanch = (rows + 255) // 128 * 128 + 128
+
+    ln = 2 * np.maximum(cols, rows)
+    min_err = -((2**31) // ln)
+    g_ = np.maximum(gap, min_err)
+    m_ = np.maximum(mis, min_err)
+    undef = (INT_MIN - g_ - m_).astype(np.int64)
+    init_cell = np.where(-g_ > dropoff, undef, g_)
+
+    q_dev = jnp.asarray(q)
+    teff_dev = jnp.asarray(t_eff.astype(np.int8))
+    begQ_dev = jnp.asarray(begQ)
+    endQ_dev = jnp.asarray(endQ)
+    begTs_dev = jnp.asarray(begT_s)
+    endTs_dev = jnp.asarray(endT_s)
+    tanch_dev = jnp.asarray(tanch)
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def _build_windows_dev(item_ids, qoffs, toffs, qwid, twid):
+        pair = item_ids // 2
+        is_left = (item_ids % 2) == 0
+        xs = qoffs[:, None] + jnp.arange(qwid)[None, :] - 1
+        src_q = jnp.where(is_left[:, None],
+                          begQ_dev[pair][:, None] - 1 - xs,
+                          endQ_dev[pair][:, None] + xs)
+        qwv = jnp.take_along_axis(q_dev[pair],
+                                  jnp.clip(src_q, 0, L - 1), axis=1)
+        xt = tanch_dev[item_ids][:, None] - (toffs[:, None] +
+                                             jnp.arange(twid)[None, :])
+        src_t = jnp.where(is_left[:, None],
+                          begTs_dev[pair][:, None] - 1 - xt,
+                          endTs_dev[pair][:, None] + xt)
+        twv = jnp.take_along_axis(teff_dev[pair],
+                                  jnp.clip(src_t, 0, L - 1), axis=1)
+        return qwv.astype(jnp.int8), twv.astype(jnp.int8)
+
+    def build_windows(item_ids, qoffs, toffs, npad):
+        ii = np.zeros(npad, np.int64)
+        qo = np.zeros(npad, np.int64)
+        to = np.zeros(npad, np.int64)
+        ii[:len(item_ids)] = item_ids
+        qo[:len(item_ids)] = qoffs
+        to[:len(item_ids)] = toffs
+        return _build_windows_dev(jnp.asarray(ii), jnp.asarray(qo),
+                                  jnp.asarray(to), QW, TW)
+
+    # Target-window parking: place the live register base exactly at the
+    # highest valid ts5 (the in-kernel clip bound) so the downward drift
+    # budget is maximal.  ts5 = align_bandw(jcb) - 2*bandw - toff, and the
+    # driver knows jcb exactly (fresh: adn=2, base=0 => jcb = tanch - 1;
+    # resume: jcb = tanch - adn + 1 + align_bandw(mc - 1)), so toff is
+    # solved for rather than approximated — v3's 128-aligned formula only
+    # worked because every remainder there was 0.
+    PARK = TW - TWR - 128
+
+    def park_toff(jcb):
+        return (jcb // BANDW) * BANDW - 2 * BANDW - PARK
+
+    qoffs = np.zeros(n_items, np.int64)
+    toffs = park_toff(tanch - 1)
+    resume = np.zeros(n_items, np.int32)
+    saved = np.zeros((n_items, 8), np.int64)
+    state_dev = jnp.zeros((n_items, 2, WWIN), jnp.int32)
+    final = np.zeros((n_items, 10), np.int64)
+    live = np.flatnonzero(np.repeat(seed_ok, 2))
+    work = np.maximum(cols, rows)
+    live = live[np.argsort(work[live], kind="stable")]
+
+    npad = max(SUB, 1 << int(np.ceil(np.log2(max(n_items, 1)))))
+    rounds = 0
+    while len(live) > 0 and rounds < 64:
+        rounds += 1
+        nsel = len(live)
+        par = np.zeros((npad, 32), np.int32)
+        par[:nsel, P_COLS] = cols[live]
+        par[:nsel, P_ROWS] = rows[live]
+        par[:nsel, P_ACTIVE] = 1
+        par[:nsel, P_GAP] = g_[live]
+        par[:nsel, P_MIS] = m_[live]
+        par[:nsel, P_UNDEF] = undef[live]
+        par[:nsel, P_INIT] = init_cell[live]
+        par[:nsel, P_MAT] = mat
+        par[:nsel, P_DROP] = dropoff
+        par[:nsel, P_RESUME] = resume[live]
+        par[:nsel, P_QOFF] = qoffs[live]
+        par[:nsel, P_TOFF] = toffs[live]
+        par[:nsel, P_TANCH] = tanch[live]
+        par[:nsel, P_DELTA] = np.where(resume[live] > 0,
+                                       saved[live, 7] - 2, 0)
+        par[:nsel, P_MC0] = saved[live, 0]
+        par[:nsel, P_XC0] = saved[live, 1]
+        par[:nsel, P_HI3] = saved[live, 2]
+        par[:nsel, P_BEST0] = saved[live, 3]
+        par[:nsel, P_BEC0] = saved[live, 4]
+        par[:nsel, P_BER0] = saved[live, 5]
+        par[:nsel, P_BES0] = saved[live, 6]
+
+        qwv, twv = build_windows(live, qoffs[live], toffs[live], npad)
+        live_dev = jnp.asarray(
+            np.concatenate([live,
+                            np.full(npad - nsel, n_items, np.int64)]))
+        sti = state_dev[jnp.clip(live_dev, 0, n_items - 1)]
+
+        out, st_out = xdrop_extend_items_geom(
+            g, jnp.asarray(par), qwv, twv, sti, interpret)
+        state_dev = state_dev.at[live_dev].set(st_out)
+        out = np.asarray(out[:, :16])[:nsel]
+
+        final[live, :] = out[:, :10]
+        paused = out[:, O_STATUS] == PAUSED
+        still = live[paused]
+        if len(still):
+            idx = np.flatnonzero(paused)
+            saved[still, 0] = out[idx, O_MC]
+            saved[still, 1] = out[idx, O_XC]
+            saved[still, 2] = out[idx, O_HI3]
+            saved[still, 3] = out[idx, O_BEST]
+            saved[still, 4] = out[idx, O_BEC]
+            saved[still, 5] = out[idx, O_BER]
+            saved[still, 6] = out[idx, O_BES]
+            saved[still, 7] = out[idx, O_ADN]
+            resume[still] = 1
+            base_p = (out[idx, O_MC] - 1) // 128 * 128
+            qoffs[still] = base_p
+            base_b = (out[idx, O_MC] - 1) // BANDW * BANDW
+            jcb_r = tanch[still] - out[idx, O_ADN] + 1 + base_b
+            toffs[still] = park_toff(jcb_r)
+        live = still
+
+    ls, lc, lr = final[0::2, O_BES], final[0::2, O_BEC], final[0::2, O_BER]
+    rs, rcol, rrow = final[1::2, O_BES], final[1::2, O_BEC], \
+        final[1::2, O_BER]
+    ovf = ((final[0::2, O_OVF] | final[1::2, O_OVF]) != 0)
+    if rounds >= 64 and len(live):
+        ovf = ovf.copy()
+        ovf[np.unique(live // 2)] = True
+
+    begQ_e = begQ - lc
+    begT_e = begT_s - lr
+    endQ_e = endQ + rcol
+    endT_e = endT_s + rrow
+    score = ls + rs + mat * k
+    outBT = np.where(rc, lenT - endT_e, begT_e)
+    outET = np.where(rc, lenT - begT_e, endT_e)
+    z = np.zeros(P, np.int64)
+    return dict(
+        score=np.where(seed_ok, score, -1).astype(np.int32),
+        begQ=np.where(seed_ok, begQ_e, z).astype(np.int32),
+        endQ=np.where(seed_ok, endQ_e, z).astype(np.int32),
+        begT=np.where(seed_ok, outBT, z).astype(np.int32),
+        endT=np.where(seed_ok, outET, z).astype(np.int32),
+        rc=np.where(seed_ok, rc, False),
+        overflow=seed_ok & ovf,
+    )
