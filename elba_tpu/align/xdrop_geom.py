@@ -402,6 +402,9 @@ def pallas_extend_geom(g: Geometry, params, qw, tw, st_in,
     programs, like xdrop_pallas.pallas_extend)."""
     SUB = g.sub
     N = params.shape[0]
+    assert N % SUB == 0, \
+        f"item count {N} not a multiple of SUB={SUB}: blocks past " \
+        f"N//SUB would silently not run (grid floor)"
     grid = (N // SUB,)
     out, st_out = pl.pallas_call(
         _get_kernel(g),
