@@ -49,6 +49,7 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
     xdrop_device._align_batch_fused (docstring there; packed-offset int32
     discipline identical).  Returns (P, 11) int32."""
     QW, TW, WWIN, BANDW = g.qw, g.tw, g.wwin, g.bandw
+    TBACK = g.tback
     PARK = TW - g.twr - 128
     P = nitems // 2
     i32 = jnp.int32
@@ -137,7 +138,7 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
 
     def park_toff(jcb):
         # exact target-window parking (see xdrop_geom.xdrop_pairs_geom)
-        return (jcb // BANDW) * BANDW - 2 * BANDW - PARK
+        return (jcb // BANDW) * BANDW - TBACK - PARK
 
     def rows_of(byte_off, local, width: int):
         nb = width // 4 + 1

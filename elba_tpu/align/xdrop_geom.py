@@ -22,8 +22,8 @@ lane-aligned: Mosaic requires lane-dim dynamic slice starts provably
 128-aligned, but a 32-aligned band base is not.  Fetches here are made at
 the 128-aligned floor and rotated into place in registers (dynamic
 pltpu.roll), with +128 lanes of fetch slack in the q window and the
-target roll-offset absorbing its misalignment (twr is sized so
-wwin - 1 + 3*bandw - 1 + 96 < twr keeps every rolled access in range).
+target roll-offset absorbing its misalignment (the `tback` register
+back-off is derived so every rolled access stays inside twr).
 
 Algorithm, work decomposition, and exactness contract are identical to
 xdrop_pallas.py (reference: XDropAligner.cpp:46-206); the WIDE geometry
@@ -74,12 +74,9 @@ class Geometry:
         assert self.wwin % 128 == 0 and self.twr % 128 == 0
         assert self.wwin >= 2 * self.bandw
         assert self.bandw % 32 == 0
-        # every rolled target access must land inside the register:
-        # max initial roll offset = (3*bandw - 1) plus the bandw-aligned
-        # base's distance below its 128-aligned fetch floor
-        misalign = max(128 - self.bandw, 0)
-        assert self.wwin - 1 + 3 * self.bandw - 1 + misalign < self.twr, \
-            "twr too small for wwin/bandw"
+        # the real register-coverage constraint lives in `tback` (derived
+        # as the largest back-off whose worst-case rolled access fits twr)
+        assert self.tback >= self.bandw
 
     @property
     def qw(self) -> int:
@@ -88,8 +85,21 @@ class Geometry:
         return _ceil128(self.qwin + self.wwin + 128)
 
     @property
+    def tback(self) -> int:
+        # target-register back-off: the refetch positions the register
+        # `tback` rolls of headroom behind the live point, so the roll
+        # budget per refetch is [tback, tback + 127].  The largest value
+        # whose worst-case rolled access still lands inside the register
+        # (wwin - 1 + tback + 127 < twr); v3 hardcoded 2*bandw, which for
+        # narrow bands wastes most of the register's roll headroom.
+        tb = self.twr - self.wwin - 128
+        assert tb >= self.bandw and tb % self.bandw == 0
+        return tb
+
+    @property
     def tw(self) -> int:
-        return _ceil128(self.qwin + self.wwin + 3 * self.bandw + 128)
+        return _ceil128(self.qwin + self.wwin + self.tback + self.bandw
+                        + 128)
 
 
 # Narrow default: covers every band observed at ladder scoring
@@ -104,7 +114,7 @@ WIDE = Geometry(bandw=128, wwin=256, twr=640)
 def _make_kernel(g: Geometry):
     SUB, UNROLL, REFETCH_BATCH = g.sub, g.unroll, g.refetch_batch
     BANDW, WWIN, TWR = g.bandw, g.wwin, g.twr
-    QW, TW = g.qw, g.tw
+    QW, TW, TBACK = g.qw, g.tw, g.tback
 
     def _align(x):
         return (x // BANDW) * BANDW
@@ -305,7 +315,7 @@ def _make_kernel(g: Geometry):
                 tanch_s = params_ref[s, P_TANCH]
                 qs = base_s - qoff_s
                 jcb = tanch_s - adn_s + 1 + base_s
-                tb5 = _align(jcb) - 2 * BANDW
+                tb5 = _align(jcb) - TBACK
                 ts5 = tb5 - toff_s
                 pause = (qs < 0) | (qs > QW - WWIN - 128) | (ts5 < 0) | \
                     (ts5 > TW - TWR - 128)
@@ -456,7 +466,7 @@ def xdrop_pairs_geom(g: Geometry, q, t, lenQ, lenT, begQ, begT, k, mat,
     production path is the fused device driver).  Same contract as
     xdrop_pallas.xdrop_pairs_pallas."""
     SUB, WWIN, TWR = g.sub, g.wwin, g.twr
-    QW, TW, BANDW = g.qw, g.tw, g.bandw
+    QW, TW, BANDW, TBACK = g.qw, g.tw, g.bandw, g.tback
     P, L = q.shape
     lenQ = lenQ.astype(np.int64)
     lenT = lenT.astype(np.int64)
@@ -545,7 +555,7 @@ def xdrop_pairs_geom(g: Geometry, q, t, lenQ, lenT, begQ, begT, k, mat,
 
     # Target-window parking: place the live register base exactly at the
     # highest valid ts5 (the in-kernel clip bound) so the downward drift
-    # budget is maximal.  ts5 = align_bandw(jcb) - 2*bandw - toff, and the
+    # budget is maximal.  ts5 = align_bandw(jcb) - tback - toff, and the
     # driver knows jcb exactly (fresh: adn=2, base=0 => jcb = tanch - 1;
     # resume: jcb = tanch - adn + 1 + align_bandw(mc - 1)), so toff is
     # solved for rather than approximated — v3's 128-aligned formula only
@@ -553,7 +563,7 @@ def xdrop_pairs_geom(g: Geometry, q, t, lenQ, lenT, begQ, begT, k, mat,
     PARK = TW - TWR - 128
 
     def park_toff(jcb):
-        return (jcb // BANDW) * BANDW - 2 * BANDW - PARK
+        return (jcb // BANDW) * BANDW - TBACK - PARK
 
     qoffs = np.zeros(n_items, np.int64)
     toffs = park_toff(tanch - 1)
