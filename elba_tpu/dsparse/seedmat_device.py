@@ -42,9 +42,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kmers.count import KmerMatrix
+from ..kmers.count_chunked import COMPILE_CAP, _pow2
 
 SENT = np.int32(2**31 - 1)  # sentinel (q, t) for empty slots; sorts last
 PACK = 15                   # position packing: s = (pq << PACK) | pt
+
+
+def _out_cap_max(chunk_slots: int) -> int:
+    """Largest accumulator capacity whose per-chunk merge sort
+    (out_cap + chunk product slots) stays under the remote compile
+    helper's survivable shape (COMPILE_CAP; CLAUDE.md).  Overflow
+    retries double up to this and then fail loudly — an unclamped
+    doubling minted a ~134M-slot sort that SIGKILLs the helper."""
+    return max(COMPILE_CAP - chunk_slots, 1 << 14)
+
+
+def _grow_out_cap(out_cap: int, chunk_slots: int, context: str) -> int:
+    cap_max = _out_cap_max(chunk_slots)
+    if out_cap >= cap_max:
+        raise RuntimeError(
+            f"{context}: accumulator overflow at the compile-bound "
+            f"capacity {out_cap} (chunk slots {chunk_slots}); "
+            f"raise min_shared/partition the input instead")
+    return min(2 * out_cap, cap_max)
+
+
+def _live_pos_max(pos, nnz) -> int:
+    """Max seed position over LIVE slots only: compacted dead slots
+    keep real window-position payloads up to L - k, so a full-array max
+    would spuriously reject readsets the packed-seed path handles."""
+    idx = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    return int(jnp.max(jnp.where(idx < nnz, pos, 0)))
 
 
 def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int,
@@ -283,6 +311,10 @@ def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
     as one XLA program (`_spgemm_device`); stage_chunks > 0 runs it as a
     host loop of short `_spgemm_stage` dispatches with the accumulator
     left on device between them."""
+    if stage_chunks > 0:
+        assert total_chunks > 0, \
+            "staged dispatch needs total_chunks (0 would silently " \
+            "skip the whole multiply)"
     if stage_chunks <= 0:
         return _spgemm_device(rows, pos, gid, total_inst,
                               chunk_inst=chunk_inst, out_cap=out_cap,
@@ -300,18 +332,16 @@ def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
     return _finalize_state(state, min_shared=min_shared)
 
 
-def _pow2(x: int) -> int:
-    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
-
-
 def upload_kmer_matrix(A: KmerMatrix, upper: int = 0,
-                       chunk_inst: int = 1 << 22):
+                       chunk_inst: int = 1 << 22, counts=None):
     """One-time host->device upload of the instance arrays with group ids
     and halo padding (padded to power-of-two shapes so repeated calls
     share one compiled program).  Returns (device dict, total products,
-    inferred upper bound, chunk size)."""
+    inferred upper bound, chunk size).  `counts` (np.bincount of A.cols)
+    may be passed in to avoid recomputing it."""
     assert A.num_reads < 2**31, "int32 read ids"
-    counts = np.bincount(A.cols, minlength=A.num_kmers).astype(np.int64)
+    if counts is None:
+        counts = np.bincount(A.cols, minlength=A.num_kmers).astype(np.int64)
     total = int((counts * counts).sum())
     if upper == 0:
         upper = int(counts.max()) if len(counts) else 1
@@ -348,20 +378,23 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
     t == SENT empty) plus a 'stats' dict.  Accumulator overflow triggers a
     doubled-capacity retry (capped), mirroring the drop-detect-retry
     contract of the distributed exchanges."""
+    counts = (np.bincount(A.cols, minlength=A.num_kmers).astype(np.int64)
+              if A.num_kmers else np.zeros(0, np.int64))
+    if upper == 0:
+        upper = int(counts.max()) if len(counts) else 1
+    span = max(2 * upper - 1 if full else upper - 1, 1)
     if chunk_inst == 0:
         # span product slots per instance: budget ~2^26 slots per chunk
         # (x 6 int32 arrays x sort double-buffering ~= 3GB HBM)
-        counts_max = upper
-        if counts_max == 0 and A.num_kmers:
-            counts_max = int(np.bincount(A.cols,
-                                         minlength=A.num_kmers).max())
-        span = max(2 * counts_max - 1 if full else counts_max - 1, 1)
         chunk_inst = max((1 << 26) // span, 1 << 18)
-    dev, total, upper, chunk_inst = upload_kmer_matrix(A, upper, chunk_inst)
+    dev, total, upper, chunk_inst = upload_kmer_matrix(A, upper, chunk_inst,
+                                                       counts=counts)
     if out_cap == 0:
         # distinct pairs are usually << products; a capped default keeps
         # the per-chunk merge small and the retry loop covers undershoot
         out_cap = _pow2(max(min(4 * A.nnz, 1 << 24), 1 << 14))
+    chunk_slots = chunk_inst * span
+    out_cap = min(out_cap, _out_cap_max(chunk_slots))
     nchunks = max(-(-A.nnz // chunk_inst), 1)
     for _ in range(max_retries):
         res = _run_spgemm(dev["rows"], dev["pos"], dev["gid"],
@@ -371,9 +404,10 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
                           stage_chunks=stage_chunks, total_chunks=nchunks)
         if int(res["stats"]["overflow"]) == 0:
             return res, total
-        out_cap *= 2
+        out_cap = _grow_out_cap(out_cap, chunk_slots,
+                                "build_seed_matrix_device")
     raise RuntimeError(
-        f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
+        f"device SpGEMM accumulator overflow at out_cap={out_cap}")
 
 
 @functools.partial(jax.jit, static_argnames=("upper", "npad"))
@@ -402,7 +436,7 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
     two_seeds=False skips the fold-last seed payload in the hot sorts
     (s1 mirrors s0) -- use when only seeds[0] is consumed downstream."""
     assert upper <= 256
-    if int(jnp.max(count_res["pos"])) >= (1 << PACK):
+    if _live_pos_max(count_res["pos"], count_res["nnz"]) >= (1 << PACK):
         raise ValueError(
             "seed positions >= 2^15: the packed-seed device SpGEMM "
             "supports reads shorter than 32k bases; use the host path")
@@ -418,6 +452,7 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
     total_inst = count_res["nnz"].astype(jnp.int32)
     if out_cap == 0:
         out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
+    out_cap = min(out_cap, _out_cap_max(CI * span))
     # live chunk count for the staged host loop (one tiny scalar fetch)
     nchunks = max(-(-int(count_res["nnz"]) // CI), 1) if stage_chunks \
         else nchunks_max
@@ -429,9 +464,10 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
                           two_seeds=two_seeds)
         if int(res["stats"]["overflow"]) == 0:
             return res
-        out_cap *= 2
+        out_cap = _grow_out_cap(out_cap, CI * span,
+                                "spgemm_from_device_count")
     raise RuntimeError(
-        f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
+        f"device SpGEMM accumulator overflow at out_cap={out_cap}")
 
 
 def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
@@ -453,11 +489,16 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
     """
     assert upper <= 256
     span = max(2 * upper - 1 if full else upper - 1, 1)
+    # worst-case chunk slots for the retry clamp (per-part CI may shrink
+    # for small parts, which only loosens the true bound)
+    chunk_slots_max = max((1 << 26) // span, 1 << 18) * span
+    if out_cap:
+        out_cap = min(out_cap, _out_cap_max(chunk_slots_max))
     for _ in range(max_retries):
         state = None
         overflowed = False
         for part in parts_fn():
-            if int(jnp.max(part["pos"])) >= (1 << PACK):
+            if _live_pos_max(part["pos"], part["nnz"]) >= (1 << PACK):
                 raise ValueError(
                     "seed positions >= 2^15: the packed-seed device "
                     "SpGEMM supports reads shorter than 32k bases; use "
@@ -471,6 +512,7 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                 upper, npad)
             if out_cap == 0:
                 out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
+                out_cap = min(out_cap, _out_cap_max(chunk_slots_max))
             if state is None:
                 state = _empty_state(out_cap)
             total_inst = part["nnz"].astype(jnp.int32)
@@ -502,13 +544,16 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                 overflowed = True
                 break
         if not overflowed:
+            if state is None:   # parts_fn yielded nothing: empty B
+                state = _empty_state(out_cap or (1 << 14))
             res = _finalize_state(state, min_shared=min_shared)
             if int(res["stats"]["overflow"]) == 0:
                 return res
         del state
-        out_cap *= 2
+        out_cap = _grow_out_cap(out_cap, chunk_slots_max,
+                                "spgemm_from_count_parts")
     raise RuntimeError(
-        f"device SpGEMM accumulator overflow at out_cap={out_cap // 2}")
+        f"device SpGEMM accumulator overflow at out_cap={out_cap}")
 
 
 def device_result_to_host(res, min_shared: int = 2):

@@ -183,7 +183,6 @@ def plan_parts(readset, k: int, parts: int, read_chunk: int = 0,
         # chunk would size cap (and every downstream padded program) by
         # the append window instead of the actual load.
         read_chunk = max(min((1 << 25) // W, 4096, _pow2(max(n, 1))), 64)
-    Rpad = -(-max(n, 1) // read_chunk) * read_chunk
     total = int(np.maximum(np.asarray(readset.lengths, np.int64)
                            - (k - 1), 0).sum())
     cap = int(total * slack / parts) + read_chunk * W
@@ -194,6 +193,26 @@ def plan_parts(readset, k: int, parts: int, read_chunk: int = 0,
     bounds.append(span)
     assert all(a <= b for a, b in zip(bounds, bounds[1:]))
     return read_chunk, cap, bounds
+
+
+def _count_part_retrying(codes_d, lengths_d, lo, hi, nk_off, k, lower,
+                         upper, rc, cap0: int, max_retries: int, p: int):
+    """The shared retry loop around _count_part: doubled caps clamped to
+    the compile bound, loud failure past it (used by iter_count_parts and
+    the grouped counter's skew fallback — one policy, one copy)."""
+    part_cap = cap0
+    for attempt in range(max_retries):
+        res = _count_part(codes_d, lengths_d, lo, hi, jnp.int32(nk_off),
+                          k, lower, upper, read_chunk=rc, cap=part_cap)
+        if not bool(res["overflow"]):
+            return res
+        del res
+        if part_cap >= COMPILE_CAP:
+            raise RuntimeError(
+                f"count part {p} overflowed at the compile-bound cap "
+                f"{part_cap}; rerun with more parts")
+        part_cap = _grow_cap(part_cap)
+    raise RuntimeError(f"count part {p} overflowed cap={part_cap}")
 
 
 def iter_count_parts(readset, k: int, lower: int, upper: int,
@@ -211,6 +230,12 @@ def iter_count_parts(readset, k: int, lower: int, upper: int,
     rc, cap_auto, bounds = plan_parts(readset, k, parts, read_chunk)
     if cap == 0:
         cap = cap_auto
+    # the FIRST attempt must respect the remote-compile bound too, not
+    # just the retries: too few parts for the workload would otherwise
+    # jit an uncompilable shape before any overflow can be detected.
+    # Clamped (not raised): if the actual load fits the bound anyway the
+    # run proceeds; real overflow still fails loudly in the retry loop.
+    cap = min(cap, COMPILE_CAP)
     n = len(readset)
     L = _pow2(max(readset.max_length, k + 1))
     Rpad = -(-max(n, 1) // rc) * rc
@@ -226,22 +251,8 @@ def iter_count_parts(readset, k: int, lower: int, upper: int,
     for p in range(parts):
         lo = jnp.uint64(bounds[p])
         hi = (SENTK if p == parts - 1 else jnp.uint64(bounds[p + 1]))
-        part_cap = cap
-        for attempt in range(max_retries):
-            res = _count_part(codes_d, lengths_d, lo, hi,
-                              jnp.int32(nk_off), k, lower, upper,
-                              read_chunk=rc, cap=part_cap)
-            if not bool(res["overflow"]):
-                break
-            del res
-            if part_cap >= COMPILE_CAP:
-                raise RuntimeError(
-                    f"count part {p} overflowed at the compile-bound cap "
-                    f"{part_cap}; rerun with more parts")
-            part_cap = _grow_cap(part_cap)
-        else:
-            raise RuntimeError(
-                f"count part {p} overflowed cap={part_cap}")
+        res = _count_part_retrying(codes_d, lengths_d, lo, hi, nk_off,
+                                   k, lower, upper, rc, cap, max_retries, p)
         nk_off += int(res["nk"])
         yield res
 
@@ -255,16 +266,13 @@ def count_device_chunked(readset, k: int, lower: int, upper: int,
                                  read_chunk=read_chunk, cap=cap))
 
 
-def build_kmer_matrix_chunked(readset, k: int, lower: int, upper: int,
-                              parts: int = 8, read_chunk: int = 0,
-                              cap: int = 0) -> KmerMatrix:
-    """Host A matrix via the multi-pass counter (compacted per-part
-    fetches).  Bit-identical to build_kmer_matrix_device for any
-    partition geometry (tests/test_count_chunked.py)."""
+def build_kmer_matrix_from_parts(readset, part_iter) -> KmerMatrix:
+    """Host A matrix from any per-part counting iterator (compacted
+    per-part fetches).  Shared by the chunked and grouped builders —
+    the two iterators yield bit-identical parts by contract."""
     rows, cols, pos, kms = [], [], [], []
     nk_total = 0
-    for res in iter_count_parts(readset, k, lower, upper, parts=parts,
-                                read_chunk=read_chunk, cap=cap):
+    for res in part_iter:
         nnz = int(res["nnz"])
         nk_total += int(res["nk"])
         if nnz == 0:
@@ -284,3 +292,14 @@ def build_kmer_matrix_chunked(readset, k: int, lower: int, upper: int,
     return KmerMatrix(rows=cat(rows, np.int64), cols=cat(cols, np.int64),
                       pos=cat(pos, np.int32), kmers=kmers,
                       num_reads=len(readset), num_kmers=nk_total)
+
+
+def build_kmer_matrix_chunked(readset, k: int, lower: int, upper: int,
+                              parts: int = 8, read_chunk: int = 0,
+                              cap: int = 0) -> KmerMatrix:
+    """Host A matrix via the multi-pass counter.  Bit-identical to
+    build_kmer_matrix_device for any partition geometry
+    (tests/test_count_chunked.py)."""
+    return build_kmer_matrix_from_parts(
+        readset, iter_count_parts(readset, k, lower, upper, parts=parts,
+                                  read_chunk=read_chunk, cap=cap))

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .count import KmerMatrix
-from .count_chunked import (COMPILE_CAP, SENTK, _count_part, _grow_cap,
+from .count_chunked import (COMPILE_CAP, SENTK, _count_part_retrying,
+                            _grow_cap, _pow2, build_kmer_matrix_from_parts,
                             pack_code_rows, plan_parts, unpack_code_rows)
 from .extract import extract_canonical_kmers
 
@@ -177,8 +178,11 @@ def iter_count_parts_grouped(readset, k: int, lower: int, upper: int,
                                       slack=slack)
     if cap == 0:
         cap = cap_auto
+    # first-attempt shapes must respect the remote-compile bound too
+    # (see iter_count_parts); the skew fallback fails loudly past it
+    cap = min(cap, COMPILE_CAP)
     n = len(readset)
-    L = 1 << max(int(np.ceil(np.log2(max(readset.max_length, k + 1)))), 0)
+    L = _pow2(max(readset.max_length, k + 1))
     Rpad = -(-max(n, 1) // rc) * rc
     codes = np.zeros((Rpad, L // 4), np.uint8)
     lengths = np.zeros(Rpad, np.int32)
@@ -222,26 +226,12 @@ def iter_count_parts_grouped(readset, k: int, lower: int, upper: int,
                 lo = jnp.uint64(bounds[p])
                 hi = (SENTK if p == parts - 1
                       else jnp.uint64(bounds[p + 1]))
-                # doubled cap, clamped to the remote compile helper's
-                # survivable sort shape — past it the fallback would mint
-                # an uncompilable program instead of recovering
-                part_cap = _grow_cap(cap)
-                for attempt in range(max_retries):
-                    res = _count_part(codes_d, lengths_d, lo, hi,
-                                      jnp.int32(nk_off), k, lower, upper,
-                                      read_chunk=rc, cap=part_cap)
-                    if not bool(res["overflow"]):
-                        break
-                    del res
-                    if part_cap >= COMPILE_CAP:
-                        raise RuntimeError(
-                            f"count part {p} overflowed at the "
-                            f"compile-bound cap {part_cap}; rerun with "
-                            f"more parts")
-                    part_cap = _grow_cap(part_cap)
-                else:
-                    raise RuntimeError(
-                        f"count part {p} overflowed cap={part_cap}")
+                # doubled starting cap (the group buffer just overflowed
+                # at `cap`); the shared retry loop keeps doubling up to
+                # the compile bound and fails loudly past it
+                res = _count_part_retrying(codes_d, lengths_d, lo, hi,
+                                           nk_off, k, lower, upper, rc,
+                                           _grow_cap(cap), max_retries, p)
                 nk_off += int(res["nk"])
                 yield res
             continue
@@ -260,30 +250,10 @@ def build_kmer_matrix_grouped(readset, k: int, lower: int, upper: int,
                               parts: int = 8, group: int = 4,
                               read_chunk: int = 0,
                               cap: int = 0) -> KmerMatrix:
-    """Host A matrix via the grouped counter (compacted per-part fetches).
-    Bit-identical to build_kmer_matrix_device / _chunked for any
-    (parts, group) geometry (tests/test_count_grouped.py)."""
-    rows, cols, pos, kms = [], [], [], []
-    nk_total = 0
-    for res in iter_count_parts_grouped(readset, k, lower, upper,
-                                        parts=parts, group=group,
-                                        read_chunk=read_chunk, cap=cap):
-        nnz = int(res["nnz"])
-        nk_total += int(res["nk"])
-        if nnz == 0:
-            continue
-        rows.append(np.asarray(res["rid"][:nnz]).astype(np.int64)
-                    + readset.start_id)
-        cols.append(np.asarray(res["rank"][:nnz]).astype(np.int64))
-        pos.append(np.asarray(res["pos"][:nnz]).astype(np.int32))
-        km = np.asarray(res["km"][:nnz])
-        first = np.ones(nnz, bool)
-        first[1:] = km[1:] != km[:-1]
-        kms.append(km[first])
-    cat = lambda xs, dt: (np.concatenate(xs) if xs
-                          else np.zeros(0, dtype=dt))
-    kmers = cat(kms, np.uint64)
-    assert len(kmers) == nk_total
-    return KmerMatrix(rows=cat(rows, np.int64), cols=cat(cols, np.int64),
-                      pos=cat(pos, np.int32), kmers=kmers,
-                      num_reads=len(readset), num_kmers=nk_total)
+    """Host A matrix via the grouped counter.  Bit-identical to
+    build_kmer_matrix_device / _chunked for any (parts, group) geometry
+    (tests/test_count_grouped.py)."""
+    return build_kmer_matrix_from_parts(
+        readset, iter_count_parts_grouped(readset, k, lower, upper,
+                                          parts=parts, group=group,
+                                          read_chunk=read_chunk, cap=cap))

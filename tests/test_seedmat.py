@@ -255,3 +255,67 @@ def test_chained_device_spgemm_two_seeds_false(rng):
         assert np.array_equal(B.mat.vals[f], host.mat.vals[f]), f
     assert np.array_equal(B.mat.vals["seedQ1"], B.mat.vals["seedQ0"])
     assert np.array_equal(B.mat.vals["seedT1"], B.mat.vals["seedT0"])
+
+
+def test_out_cap_retry_clamped_to_compile_bound():
+    """Overflow retries must never mint a merge-sort shape past the
+    remote compile helper's survivable size (chunk slots + out_cap)."""
+    import pytest
+    from elba_tpu.dsparse.seedmat_device import (_grow_out_cap,
+                                                 _out_cap_max)
+    from elba_tpu.kmers.count_chunked import COMPILE_CAP
+
+    chunk_slots = 1 << 26
+    cap_max = _out_cap_max(chunk_slots)
+    assert cap_max + chunk_slots <= COMPILE_CAP
+    # doubling clamps to cap_max rather than overshooting
+    assert _grow_out_cap(cap_max // 2 + 1, chunk_slots, "t") == cap_max
+    # at the bound, the retry fails loudly instead of compiling
+    with pytest.raises(RuntimeError, match="compile-bound"):
+        _grow_out_cap(cap_max, chunk_slots, "t")
+
+
+def test_pos_guard_ignores_dead_slots():
+    """The packed-seed pos >= 2^15 guard must consider LIVE entries only:
+    compacted dead slots carry window positions up to L - k."""
+    import jax.numpy as jnp
+    from elba_tpu.dsparse.seedmat_device import (_live_pos_max,
+                                                 spgemm_from_device_count)
+
+    pos = jnp.asarray(np.array([5, 9, 40000, 50000], np.int32))
+    assert _live_pos_max(pos, jnp.int32(2)) == 9
+    # end-to-end: two reads sharing one k-mer at small positions, with
+    # dead tail slots holding >= 2^15 position payloads
+    count_res = dict(
+        km=jnp.asarray(np.array([7, 7, 99, 99], np.uint64)),
+        rid=jnp.asarray(np.array([0, 1, 2, 3], np.int32)),
+        pos=pos,
+        rank=jnp.asarray(np.array([0, 0, 1, 1], np.int32)),
+        nnz=jnp.int32(2), nk=jnp.int32(1))
+    res = spgemm_from_device_count(count_res, upper=4, min_shared=1,
+                                   full=False)
+    n = int(res["stats"]["pairs"])
+    assert n == 1
+    assert int(res["q"][0]) == 0 and int(res["t"][0]) == 1
+
+
+def test_spgemm_empty_parts_iterator():
+    """No parts -> empty B result, not a TypeError on a None state."""
+    from elba_tpu.dsparse.seedmat_device import spgemm_from_count_parts
+
+    res = spgemm_from_count_parts(lambda: iter(()), upper=8)
+    assert int(res["stats"]["pairs"]) == 0
+    assert int(res["stats"]["nnz"]) == 0
+
+
+def test_staged_dispatch_requires_total_chunks(rng):
+    """stage_chunks > 0 with the default total_chunks=0 must fail loudly
+    instead of silently skipping the multiply."""
+    import pytest
+    import jax.numpy as jnp
+    from elba_tpu.dsparse.seedmat_device import _run_spgemm
+
+    z = jnp.zeros(1024, jnp.int32)
+    with pytest.raises(AssertionError, match="total_chunks"):
+        _run_spgemm(z, z, z, jnp.int32(0), chunk_inst=256, out_cap=256,
+                    min_shared=2, full=False, upper=4, stage_chunks=2)
