@@ -32,15 +32,12 @@ jax.config.update("jax_compilation_cache_dir",
 import numpy as np
 
 
-def bench_xdrop(pairs=2048, batch=512, read_len=4096, overlap=2048,
-                err=0.03, band=128, k=17):
-    """Headline: the device-resident single-dispatch driver
-    (align/xdrop_device.py) — read set uploaded once, window build + Pallas
-    kernel + continuation rounds fused into one jitted program per batch.
-    pairs > batch so the measurement covers the pipelined steady state
-    (the driver dispatches every batch before fetching any result, so host
-    prep of batch N+1 overlaps device execution of batch N)."""
-    from elba_tpu.align.xdrop_device import get_device_aligner
+def make_xdrop_fixture(pairs=2048, read_len=4096, overlap=2048, err=0.03,
+                       k=17):
+    """The bench read set: `pairs` overlapping read pairs with an exact
+    seed planted inside the overlap.  Shared by the bench and the
+    kernel pre-compile tool (tools/precompile_geom.py) so both produce
+    identical program shapes."""
     from elba_tpu.dseq.dna import ReadSet
 
     rng = np.random.default_rng(0xBE7C)
@@ -78,7 +75,33 @@ def bench_xdrop(pairs=2048, batch=512, read_len=4096, overlap=2048,
                  names=[f"r{i}" for i in range(2 * pairs)], start_id=0)
     qi = np.arange(0, 2 * pairs, 2, dtype=np.int32)
     ti = np.arange(1, 2 * pairs, 2, dtype=np.int32)
-    aligner = get_device_aligner(batch=batch)
+    return rs, qi, ti, bq, bt, q, t
+
+
+def get_bench_aligner(batch):
+    """Aligner under test: the narrow-band geometry driver by default;
+    ELBA_BENCH_ALIGNER=v3 selects the previous wide-band driver for
+    comparison sweeps."""
+    kind = os.environ.get("ELBA_BENCH_ALIGNER", "geom")
+    if kind == "v3":
+        from elba_tpu.align.xdrop_device import get_device_aligner
+        return get_device_aligner(batch=batch), kind
+    from elba_tpu.align.xdrop_device_geom import get_device_aligner_geom
+    return get_device_aligner_geom(batch=batch), kind
+
+
+def bench_xdrop(pairs=2048, batch=512, read_len=4096, overlap=2048,
+                err=0.03, band=128, k=17):
+    """Headline: the device-resident single-dispatch driver
+    (align/xdrop_device_geom.py) — read set uploaded once, window build +
+    Pallas kernel + continuation rounds fused into one jitted program per
+    batch.  pairs > batch so the measurement covers the pipelined steady
+    state (the driver dispatches every batch before fetching any result,
+    so host prep of batch N+1 overlaps device execution of batch N)."""
+
+    rs, qi, ti, bq, bt, q, t = make_xdrop_fixture(pairs, read_len, overlap,
+                                                  err, k)
+    aligner, aligner_kind = get_bench_aligner(batch)
 
     t0 = time.time()
     res = aligner(rs, qi, ti, bq, bt, k, 1, -1, -1, 15)
@@ -105,10 +128,12 @@ def bench_xdrop(pairs=2048, batch=512, read_len=4096, overlap=2048,
         for f in ("score", "begQ", "endQ", "begT", "endT", "rc"):
             if int(res[f][i]) != int(ref[f]):
                 exact = False
-    return pairs / best, dict(pairs=pairs, batch=batch, read_len=read_len,
-                              seconds=round(best, 4),
-                              compile_seconds=round(compile_s, 1),
-                              scored=nscored, exact=exact)
+    info = dict(pairs=pairs, batch=batch, read_len=read_len,
+                seconds=round(best, 4),
+                compile_seconds=round(compile_s, 1),
+                scored=nscored, exact=exact, aligner=aligner_kind)
+    info.update(getattr(aligner, "last_stats", {}))
+    return pairs / best, info
 
 
 def bench_spgemm():
