@@ -392,7 +392,15 @@ class GeomDeviceAligner:
                     out[f][sel] = arr[:, j]
                 out["rc"][sel] = arr[:, 5] != 0
                 ovf_idx.extend(sel[np.flatnonzero(arr[:, 6])])
+                # kernel work diagnostics (per-batch scalars repeated per
+                # row): antidiagonals actually run, inner while iterations,
+                # outer refetch trips
+                ctrs["antidiags"] += int(arr[:, 8].sum())
+                ctrs["inner_iters"] += int(arr[0, 9]) if len(arr) else 0
+                ctrs["outer_trips"] += int(arr[0, 10]) if len(arr) else 0
             return np.array(ovf_idx, np.int64)
+
+        ctrs = dict(antidiags=0, inner_iters=0, outer_trips=0)
 
         ovf1 = harvest(run_pass(self.primary, order))
         ovf2 = ovf1
@@ -408,5 +416,5 @@ class GeomDeviceAligner:
                 out[f][i] = ref[f]
             out["rc"][i] = ref["rc"]
         self.last_stats = dict(pairs=n, overflow_narrow=len(ovf1),
-                               overflow_wide=len(ovf2))
+                               overflow_wide=len(ovf2), **ctrs)
         return out
