@@ -36,9 +36,18 @@ from .xdrop_pallas import (PAUSED, P_COLS, P_ROWS, P_ACTIVE, P_GAP, P_MIS,
                            O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3,
                            O_BEST, O_ADN, O_ITERS, O_TRIPS)
 from .xdrop_geom import Geometry, NARROW, WIDE, pallas_extend_geom
+from .xdrop_tr import TrGeometry, pallas_extend_tr
 
 INT_MIN = -(2 ** 31)
 MAX_ROUNDS = 64
+
+
+def _extend(g, par, qw, tw, state, interpret):
+    # kernel dispatch: lane-major (Geometry) vs transposed (TrGeometry)
+    # blocks behind one item-major interface
+    if isinstance(g, TrGeometry):
+        return pallas_extend_tr(g, par, qw, tw, state, interpret)
+    return pallas_extend_geom(g, par, qw, tw, state, interpret)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 15))
@@ -49,8 +58,7 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
     xdrop_device._align_batch_fused (docstring there; packed-offset int32
     discipline identical).  Returns (P, 11) int32."""
     QW, TW, WWIN, BANDW = g.qw, g.tw, g.wwin, g.bandw
-    TBACK = g.tback
-    PARK = TW - g.twr - 128
+    TBACK, PARK, BALIGN, TALIGN = g.tback, g.park, g.balign, g.talign
     P = nitems // 2
     i32 = jnp.int32
     khalf = k >> 1
@@ -137,8 +145,11 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
     rc_i = rc[pair_s]
 
     def park_toff(jcb):
-        # exact target-window parking (see xdrop_geom.xdrop_pairs_geom)
-        return (jcb // BANDW) * BANDW - TBACK - PARK
+        # exact target-window parking (see xdrop_geom.xdrop_pairs_geom):
+        # the kernel derives its fetch base from jcb at `talign`
+        # granularity, `tback` rolls behind the live point, and the
+        # driver solves toff so the initial offset sits at `park`
+        return (jcb // TALIGN) * TALIGN - TBACK - PARK
 
     def rows_of(byte_off, local, width: int):
         nb = width // 4 + 1
@@ -198,7 +209,7 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
         cvals = jnp.stack([v for _, v in colmap], axis=1)
         par = par.at[:, cix].set(cvals)
 
-        out, st_out = pallas_extend_geom(g, par, qw, tw, state, interpret)
+        out, st_out = _extend(g, par, qw, tw, state, interpret)
 
         final = jnp.where(live[:, None], out[:, :16], final)
         paused = live & (out[:, O_STATUS] == PAUSED)
@@ -210,7 +221,7 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
         resume = jnp.where(paused, 1, resume)
         base_p = (out[:, O_MC] - 1) // 128 * 128
         qoffs = jnp.where(paused, base_p, qoffs)
-        base_b = (out[:, O_MC] - 1) // BANDW * BANDW
+        base_b = (out[:, O_MC] - 1) // BALIGN * BALIGN
         jcb_r = tanch_s - out[:, O_ADN] + 1 + base_b
         toffs = jnp.where(paused, park_toff(jcb_r), toffs)
         ctrs = ctrs + jnp.array([jnp.sum(out[:, O_ITERS]),

@@ -101,6 +101,23 @@ class Geometry:
         return _ceil128(self.qwin + self.wwin + self.tback + self.bandw
                         + 128)
 
+    # driver-facing generalization hooks (shared with TrGeometry):
+    # highest valid in-kernel target-window offset (parking target)
+    @property
+    def park(self) -> int:
+        return self.tw - self.twr - 128
+
+    # alignment of the kernel's band base (re-anchor granularity)
+    @property
+    def balign(self) -> int:
+        return self.bandw
+
+    # alignment the kernel applies to jcb when deriving the target fetch
+    # base (1 = exact)
+    @property
+    def talign(self) -> int:
+        return self.bandw
+
 
 # Narrow default: covers every band observed at ladder scoring
 # (p99 = 18 lanes at x=15, max 26 at x=25; capacity 32) with half the

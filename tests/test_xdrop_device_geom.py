@@ -1,13 +1,20 @@
 """Geometry fused device driver (interpret mode) vs oracle, incl. the
-narrow -> wide -> oracle escalation ladder."""
+narrow -> wide -> oracle escalation ladder, for BOTH kernel families
+(lane-major v4 Geometry and transposed v5 TrGeometry)."""
 
 import numpy as np
+import pytest
 
 from elba_tpu.align.xdrop_device_geom import GeomDeviceAligner
 from elba_tpu.align.xdrop_ref import xdrop_align_ref
+from elba_tpu.align.xdrop_tr import TR
+from elba_tpu.align.xdrop_geom import NARROW
 from tests.conftest import random_dna, mutate
 from tests.test_xdrop import find_shared_seed
 from tests.test_xdrop_device import make_readset
+
+PRIMARIES = [pytest.param(NARROW, id="v4-narrow"),
+             pytest.param(TR, id="v5-tr")]
 
 
 def run_device(cases, k, mat=1, mis=-1, gap=-1, dropoff=15, batch=None,
@@ -47,7 +54,8 @@ def check(cases, k, allow_overflow=False, **kw):
     return got, al
 
 
-def test_basic_cases(rng):
+@pytest.mark.parametrize("primary", PRIMARIES)
+def test_basic_cases(rng, primary):
     k = 17
     s = random_dna(rng, 300)
     t = (3 - s[::-1]).astype(np.uint8)
@@ -57,12 +65,13 @@ def test_basic_cases(rng):
         (s, s, 0, 0),
         (s, s, 295, 100),
     ]
-    got, _ = check(cases, k)
+    got, _ = check(cases, k, primary=primary)
     assert got["score"][0] == 300
     assert got["score"][2] == -1 and got["score"][3] == -1
 
 
-def test_random_overlaps(rng):
+@pytest.mark.parametrize("primary", PRIMARIES)
+def test_random_overlaps(rng, primary):
     k = 17
     genome = random_dna(rng, 1500)
     cases = []
@@ -79,10 +88,10 @@ def test_random_overlaps(rng):
         if seed is None:
             continue
         cases.append((q, t, seed[0], seed[1]))
-    check(cases, k)
-    check(cases, k, dropoff=5)
-    check(cases, k, batch=5)           # batching loop + escalation batching
-    check(cases, k, start_id=1000)     # global read ids
+    check(cases, k, primary=primary)
+    check(cases, k, dropoff=5, primary=primary)
+    check(cases, k, batch=5, primary=primary)   # ragged batch padding
+    check(cases, k, start_id=1000, primary=primary)  # global read ids
 
 
 def test_scoring_variants(rng):
@@ -100,7 +109,8 @@ def test_scoring_variants(rng):
         check(cases, k, mat=mat, mis=mis, gap=gap, dropoff=x)
 
 
-def test_multi_round_continuation(rng):
+@pytest.mark.parametrize("primary", PRIMARIES)
+def test_multi_round_continuation(rng, primary):
     k = 17
     genome = random_dna(rng, 22000)
     q = mutate(rng, genome[0:10000], 0.02, 0.01)
@@ -111,10 +121,12 @@ def test_multi_round_continuation(rng):
         t = genome[1000:11000]
         seed = (5000, 4000)
     check([(q, t, seed[0], seed[1]),
-           (genome[:3000], genome[:3000], 2900, 2900)], k)
+           (genome[:3000], genome[:3000], 2900, 2900)], k,
+          primary=primary)
 
 
-def test_escalation_wide_bands(rng):
+@pytest.mark.parametrize("primary", PRIMARIES)
+def test_escalation_wide_bands(rng, primary):
     """dropoff=60 needs ~120-lane bands: the narrow tier must overflow and
     the wide tier must resolve them exactly (no oracle needed)."""
     k = 17
@@ -127,6 +139,7 @@ def test_escalation_wide_bands(rng):
         if seed is None:
             continue
         cases.append((q, t, seed[0], seed[1]))
-    got, al = check(cases, k, dropoff=60, allow_overflow=True)
+    got, al = check(cases, k, dropoff=60, allow_overflow=True,
+                    primary=primary)
     assert al.last_stats["overflow_narrow"] > 0
     assert al.last_stats["overflow_wide"] == 0
