@@ -86,6 +86,10 @@ def get_bench_aligner(batch):
     if kind == "v3":
         from elba_tpu.align.xdrop_device import get_device_aligner
         return get_device_aligner(batch=batch), kind
+    if kind == "v4":
+        from elba_tpu.align.xdrop_device_geom import GeomDeviceAligner
+        from elba_tpu.align.xdrop_geom import NARROW
+        return GeomDeviceAligner(batch=batch, primary=NARROW), kind
     from elba_tpu.align.xdrop_device_geom import get_device_aligner_geom
     return get_device_aligner_geom(batch=batch), kind
 

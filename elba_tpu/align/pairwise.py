@@ -65,10 +65,11 @@ def pairwise_alignment(readset: ReadSet, B: SeedMatrix, k: int,
             from .xdrop_jax import align_batch_jax
             aligner = align_batch_jax
         else:
-            # device-resident single-dispatch driver (uploads the read
-            # set once; ~7x the host-driven batch loop on the tunneled v5e)
-            from .xdrop_device import get_device_aligner
-            aligner = get_device_aligner()
+            # device-resident single-dispatch driver at the transposed
+            # narrow geometry (uploads the read set once; band-overflow
+            # escalation to the WIDE kernel and then the oracle)
+            from .xdrop_device_geom import get_device_aligner_geom
+            aligner = get_device_aligner_geom()
 
     res = aligner(readset, qi, ti, seedQ, seedT, k, mat, mis, gap, dropoff)
 

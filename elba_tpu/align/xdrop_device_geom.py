@@ -6,7 +6,8 @@ continuation rounds in ONE jitted program per batch) but the kernel comes
 from the xdrop_geom factory, and overflow handling is an ESCALATION LADDER
 instead of a straight drop to the numpy oracle:
 
-  NARROW (32-lane band)  ->  WIDE (128-lane band)  ->  oracle
+  TR_NARROW (transposed, 32-sublane band x 128 item lanes)
+      ->  WIDE (lane-major, 128-lane band)  ->  oracle
 
 Bands wider than 32 lanes are rare at ladder scoring (p99 = 18 lanes) but
 not impossible (tandem repeats); at 10M-pair rungs even a 0.1% oracle rate
@@ -36,7 +37,7 @@ from .xdrop_pallas import (PAUSED, P_COLS, P_ROWS, P_ACTIVE, P_GAP, P_MIS,
                            O_BER, O_OVF, O_STATUS, O_MC, O_XC, O_HI3,
                            O_BEST, O_ADN, O_ITERS, O_TRIPS)
 from .xdrop_geom import Geometry, NARROW, WIDE, pallas_extend_geom
-from .xdrop_tr import TrGeometry, pallas_extend_tr
+from .xdrop_tr import TR_NARROW, TrGeometry, pallas_extend_tr
 
 INT_MIN = -(2 ** 31)
 MAX_ROUNDS = 64
@@ -292,7 +293,7 @@ class GeomDeviceAligner:
     oracle escalation on band overflow."""
 
     def __init__(self, batch: int = 512, interpret: bool = False,
-                 primary: Geometry = NARROW, fallback: Geometry = WIDE):
+                 primary=TR_NARROW, fallback: Geometry = WIDE):
         self.batch = batch
         self.interpret = interpret
         self.primary = primary

@@ -123,6 +123,12 @@ class TrGeometry:
 
 
 TR = TrGeometry()
+# Default production geometry: the 2026-08-19 on-chip sweep
+# (tools/sweep_geom.py, 4kb bench shape) measured unroll=64 best —
+# 14,683 pairs/s vs 11,015 at unroll=16 and 13,206 at unroll=128
+# (deeper unrolls shrink while-loop overhead until wasted post-pause
+# antidiagonal work dominates).
+TR_NARROW = TrGeometry(unroll=64)
 
 
 def _make_kernel(g: TrGeometry):

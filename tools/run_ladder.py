@@ -274,7 +274,8 @@ def stage_align(args):
     """Checkpointed alignment of B's pairs with the device aligner."""
     jax = _jax_setup(args)
     from elba_tpu.dseq.dna import load_fasta
-    from elba_tpu.align.xdrop_device import get_device_aligner
+    from elba_tpu.align.xdrop_device_geom import \
+            get_device_aligner_geom as get_device_aligner
     from elba_tpu.align.xdrop_jax import align_batch_jax
 
     params = _params(args)
@@ -486,7 +487,8 @@ def main():
 
     aligner = None
     if not args.cpu and jax.default_backend() != "cpu":
-        from elba_tpu.align.xdrop_device import get_device_aligner
+        from elba_tpu.align.xdrop_device_geom import \
+            get_device_aligner_geom as get_device_aligner
         aligner = get_device_aligner(batch=args.align_batch)
 
     t0 = time.time()

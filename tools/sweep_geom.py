@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--read-len", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated candidate names to run")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +38,7 @@ def main():
     import bench
     from elba_tpu.align.xdrop_device_geom import GeomDeviceAligner
     from elba_tpu.align.xdrop_geom import Geometry
+    from elba_tpu.align.xdrop_tr import TrGeometry
     from elba_tpu.align.xdrop_ref import xdrop_align_ref
 
     rs, qi, ti, bq, bt, q, t = bench.make_xdrop_fixture(
@@ -49,7 +52,22 @@ def main():
         ("narrow-rb10", Geometry(refetch_batch=10)),
         ("narrow-t512", Geometry(twr=512)),
         ("wide-v4", Geometry(bandw=128, wwin=256, twr=640)),
+        ("tr", TrGeometry()),
+        ("tr-u32", TrGeometry(unroll=32)),
+        ("tr-u8", TrGeometry(unroll=8)),
+        ("tr-rb32", TrGeometry(refetch_batch=32)),
+        ("tr-w48", TrGeometry(wwin=48, bandw=24)),
+        ("tr-trr256", TrGeometry(trr=256)),
+        ("tr-u32-rb32", TrGeometry(unroll=32, refetch_batch=32)),
+        ("tr-u64", TrGeometry(unroll=64)),
+        ("tr-u32-rb8", TrGeometry(unroll=32, refetch_batch=8)),
+        ("tr-u128", TrGeometry(unroll=128)),
+        ("tr-u64-rb32", TrGeometry(unroll=64, refetch_batch=32)),
+        ("tr-u64-rb64", TrGeometry(unroll=64, refetch_batch=64)),
     ]
+    if args.only:
+        names = set(args.only.split(","))
+        candidates = [c for c in candidates if c[0] in names]
     for name, g in candidates:
         try:
             al = GeomDeviceAligner(batch=args.batch, primary=g)
