@@ -143,3 +143,17 @@ def test_escalation_wide_bands(rng, primary):
                     primary=primary)
     assert al.last_stats["overflow_narrow"] > 0
     assert al.last_stats["overflow_wide"] == 0
+
+
+def test_production_default_geometry():
+    """Pin the driver's DEFAULT primary to the transposed family (what
+    bench, pairwise, dist_pipeline and the ladder actually run).  The
+    default's unroll=64 makes interpret-mode execution too expensive for
+    CI — kernel exactness is covered at unroll=16 above (same kernel
+    body, unroll only repeats the substep) and the production config is
+    oracle-checked ON CHIP by every bench.py run ("exact" in its JSON)."""
+    from elba_tpu.align.xdrop_tr import TR_NARROW, TrGeometry
+    al = GeomDeviceAligner()
+    assert al.primary is TR_NARROW
+    assert isinstance(al.primary, TrGeometry)
+    assert al.fallback.bandw == 128  # wide lane-major escalation tier

@@ -92,7 +92,13 @@ def _params(args):
 
 
 def _stagedir(args):
-    d = args.prefix + ".stage"
+    # keyed by the parameters that shape the artifacts: a rerun with a
+    # different reliable band / k / xdrop must NOT reuse a stale B.npz or
+    # R parts (observed: a U=8 B.npz silently poisoning a U=35 rerun).
+    # Stage subprocesses get every CLI flag forwarded, so they compute
+    # the same key as the orchestrator.
+    key = f"k{args.k}L{args.lower}U{args.upper}x{args.xdrop}"
+    d = f"{args.prefix}.stage.{key}"
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -103,6 +109,14 @@ def ensure_fixture(args):
     if not os.path.exists(args.prefix + ".fa"):
         simulate(args.prefix, genome_len=args.genome, nreads=args.reads,
                  read_len=args.read_len, error=args.err, seed=30)
+    else:
+        # same footgun as stale stage artifacts: a leftover fixture from
+        # a DIFFERENT workload under the same prefix must fail loudly
+        with open(args.prefix + ".fa.fai") as f:
+            n = sum(1 for _ in f)
+        assert n == args.reads, (
+            f"fixture {args.prefix}.fa has {n} reads, args ask for "
+            f"{args.reads}; delete it or change --prefix")
     return time.time() - t0
 
 
