@@ -48,23 +48,47 @@ SENT = np.int32(2**31 - 1)  # sentinel (q, t) for empty slots; sorts last
 PACK = 15                   # position packing: s = (pq << PACK) | pt
 
 
-def _out_cap_max(chunk_slots: int) -> int:
-    """Largest accumulator capacity whose per-chunk merge sort
-    (out_cap + chunk product slots) stays under the remote compile
-    helper's survivable shape (COMPILE_CAP; CLAUDE.md).  Overflow
-    retries double up to this and then fail loudly — an unclamped
-    doubling minted a ~134M-slot sort that SIGKILLs the helper."""
-    return max(COMPILE_CAP - chunk_slots, 1 << 14)
+def _live_window(chunk_slots: int, chunk_inst: int) -> int:
+    """Static bound on LIVE products per chunk: a whole k-mer group of
+    size c yields c(c-1)/2 live q<t products of its c*(U-1) slots
+    (<= 1/2), or c^2 of c*(2U-1) when full (<= U/(2U-1) ~ 0.507); a
+    chunk cuts at most two groups (group size <= upper), so half the
+    slots plus one instance-width of slack always covers the live run."""
+    return chunk_slots // 2 + chunk_inst
 
 
-def _grow_out_cap(out_cap: int, chunk_slots: int, context: str) -> int:
-    cap_max = _out_cap_max(chunk_slots)
+def _out_cap_max(chunk_slots: int, chunk_inst: int) -> int:
+    """Largest accumulator capacity whose flush merge sort (out_cap +
+    pending capacity >= live window + 1024) stays under the remote
+    compile helper's survivable shape (COMPILE_CAP; CLAUDE.md).
+    Overflow retries double up to this and then fail loudly — an
+    unclamped doubling minted a ~134M-slot sort that SIGKILLs the
+    helper."""
+    return max(COMPILE_CAP - (_live_window(chunk_slots, chunk_inst) + 1024),
+               1 << 14)
+
+
+def _grow_out_cap(out_cap: int, chunk_slots: int, chunk_inst: int,
+                  context: str) -> int:
+    cap_max = _out_cap_max(chunk_slots, chunk_inst)
     if out_cap >= cap_max:
         raise RuntimeError(
             f"{context}: accumulator overflow at the compile-bound "
             f"capacity {out_cap} (chunk slots {chunk_slots}); "
             f"raise min_shared/partition the input instead")
     return min(2 * out_cap, cap_max)
+
+
+def _pend_cap_for(out_cap: int, chunk_slots: int, chunk_inst: int) -> int:
+    """Pending-buffer capacity: a few live windows' worth (so flushes
+    amortize over several chunks), scaled to the problem rather than
+    always maximal — interior flushes sort the FULL static capacity, so
+    an oversized pending just sorts empty slots on small inputs."""
+    wl = _live_window(chunk_slots, chunk_inst)
+    cap = min(COMPILE_CAP - out_cap,
+              max(4 * wl, 2 * out_cap, 1 << 20))
+    assert cap >= wl + 1024, (out_cap, chunk_slots, chunk_inst)
+    return cap
 
 
 def _live_pos_max(pos, nnz) -> int:
@@ -148,18 +172,63 @@ def _reduce_compact(mt, mq, mw, m0, m1, out_cap: int,
     return nheads, (nt, nq, nw, n0, n1)
 
 
-def _empty_state(out_cap: int):
-    z = lambda fill: jnp.full((out_cap,), fill, jnp.int32)
-    return (z(SENT), z(SENT), z(0), z(-1), z(-1),
-            jnp.int64(0))  # t, q, w, s0, s1, overflow
+def _empty_state(out_cap: int, pend_cap: int = 0):
+    """Accumulator + pending-product state.
+
+    The accumulator (t, q, w, s0, s1) holds reduced pairs in (t, q)
+    order; the pending buffer (pt, pq, ps) holds COMPACTED RAW products
+    (weight 1, seed ps) awaiting a flush.  Raw products are much cheaper
+    to park (one 1-key compaction sort, 3 int32 arrays) than to merge
+    (two (out_cap + pend_cap)-slot sorts), so the expensive accumulator
+    re-sort amortizes over every chunk the pending buffer can hold."""
+    z = lambda fill, n: jnp.full((n,), fill, jnp.int32)
+    return (z(SENT, out_cap), z(SENT, out_cap), z(0, out_cap),
+            z(-1, out_cap), z(-1, out_cap),
+            jnp.int64(0),                     # overflow count
+            z(SENT, pend_cap), z(SENT, pend_cap), z(-1, pend_cap),
+            jnp.int32(0))                     # pending fill
+
+
+def _flush_pending(state, out_cap: int, two_seeds: bool):
+    """Merge the pending raw products into the accumulator (the
+    expensive step: one 2-key merge sort + the head-compaction sort of
+    _reduce_compact over out_cap + pend_cap slots)."""
+    bt, bq, bw, bs0, bs1, ovf, pt, pq, ps, pfill = state
+    pend_cap = pt.shape[0]
+    alive_p = jnp.arange(pend_cap, dtype=jnp.int32) < pfill
+    mt = jnp.concatenate([bt, jnp.where(alive_p, pt, SENT)])
+    mq = jnp.concatenate([bq, jnp.where(alive_p, pq, SENT)])
+    mw = jnp.concatenate([bw, alive_p.astype(jnp.int32)])
+    m0 = jnp.concatenate([bs0, ps])
+    if two_seeds:
+        m1 = jnp.concatenate([bs1, ps])
+        mt, mq, mw, m0, m1 = jax.lax.sort(
+            (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
+    else:
+        m1 = None
+        mt, mq, mw, m0 = jax.lax.sort(
+            (mt, mq, mw, m0), num_keys=2, is_stable=True)
+    nheads, new = _reduce_compact(mt, mq, mw, m0, m1, out_cap, two_seeds)
+    ovf = ovf + jnp.maximum(nheads - out_cap, 0)
+    slot = jnp.arange(out_cap, dtype=jnp.int64)
+    alive = slot < nheads
+    acc = (jnp.where(alive, new[0], SENT),
+           jnp.where(alive, new[1], SENT),
+           jnp.where(alive, new[2], 0),
+           jnp.where(alive, new[3], -1),
+           jnp.where(alive, new[4], -1))
+    empty = jnp.full((pend_cap,), SENT, jnp.int32)
+    return acc + (ovf, empty, empty, jnp.full((pend_cap,), -1, jnp.int32),
+                  jnp.int32(0))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_inst", "out_cap", "min_shared", "full",
-                     "upper", "two_seeds"))
+    static_argnames=("chunk_inst", "out_cap", "pend_cap", "min_shared",
+                     "full", "upper", "two_seeds"))
 def _spgemm_device(rows, pos, gid, total_inst,
-                   chunk_inst: int, out_cap: int, min_shared: int,
+                   chunk_inst: int, out_cap: int, pend_cap: int,
+                   min_shared: int,
                    full: bool, upper: int, two_seeds: bool = True):
     """The full chunked multiply as one XLA program.
 
@@ -184,8 +253,9 @@ def _spgemm_device(rows, pos, gid, total_inst,
                                   two_seeds)
 
     _, state = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), _empty_state(out_cap)))
-    bt, bq, bw, bs0, bs1, ovf = state
+        cond, body, (jnp.int32(0), _empty_state(out_cap, pend_cap)))
+    bt, bq, bw, bs0, bs1, ovf = _flush_pending(state, out_cap,
+                                               two_seeds)[:6]
     nnz = jnp.sum((bt != SENT) & (bw >= min_shared))
     npairs = jnp.sum(bt != SENT)
     return dict(t=bt, q=bq, numshared=bw, s0=bs0, s1=bs1,
@@ -195,15 +265,24 @@ def _spgemm_device(rows, pos, gid, total_inst,
 def _chunk_step(rows, pos, gid, total_inst, i, state,
                 chunk_inst: int, out_cap: int, full: bool, upper: int,
                 two_seeds: bool = True):
-    """Expand chunk i's semiring products and merge them into the sorted
-    fixed-capacity accumulator (shared by the one-dispatch program and the
-    multi-dispatch driver below)."""
+    """Expand chunk i's semiring products, compact the live ones with a
+    cheap 1-key sort, and park them in the pending buffer; flush the
+    pending buffer through the expensive accumulator merge only when the
+    next chunk would not fit (shared by the one-dispatch program and the
+    multi-dispatch driver below).
+
+    Order semantics are unchanged: the compaction sort is stable on the
+    target id, so same-(t, q) products keep their canonical (kmer, a, b)
+    order; appends keep chunk order; the flush concatenates accumulator
+    first.  First/fold-last seed folds therefore see products in exactly
+    the order the every-chunk merge gave them (bit-identity asserted by
+    the device-vs-host tests)."""
     CI = chunk_inst
     U = upper
     offsets = (list(range(-(U - 1), U)) if full
                else list(range(1, U)))
     span = len(offsets)
-    bt, bq, bw, bs0, bs1, ovf = state
+    Wl = _live_window(CI * span, CI)
     i0 = i * CI  # window start in the padded array (halo offset U-1)
     rw = jax.lax.dynamic_slice(rows, (i0,), (CI + 2 * U,))
     pw = jax.lax.dynamic_slice(pos, (i0,), (CI + 2 * U,))
@@ -228,41 +307,43 @@ def _chunk_step(rows, pos, gid, total_inst, i, state,
         scols.append((pq << PACK) | pt)
         vcols.append(ok)
     # [CI, span] i-major layout = the host's (kmer, a, b) canonical
-    # product order, preserved by the stable merges below
+    # product order, preserved by the stable sorts below
     ct = jnp.stack(tcols, axis=1).reshape(-1)
     cs = jnp.stack(scols, axis=1).reshape(-1)
     cv = jnp.stack(vcols, axis=1).reshape(-1)
     cq = jnp.where(cv, jnp.repeat(qi, span), SENT)
-    cw = cv.astype(jnp.int32)
+    live = jnp.sum(cv, dtype=jnp.int32)
 
-    # merge raw products into the sorted accumulator: buffer entries
-    # come FIRST in the concat so the stable sort preserves the
-    # canonical merge order (earlier products before later ones)
-    mt = jnp.concatenate([bt, ct])
-    mq = jnp.concatenate([bq, cq])
-    mw = jnp.concatenate([bw, cw])
-    m0 = jnp.concatenate([bs0, cs])
-    if two_seeds:
-        m1 = jnp.concatenate([bs1, cs])
-        mt, mq, mw, m0, m1 = jax.lax.sort(
-            (mt, mq, mw, m0, m1), num_keys=2, is_stable=True)
-    else:
-        m1 = None
-        mt, mq, mw, m0 = jax.lax.sort(
-            (mt, mq, mw, m0), num_keys=2, is_stable=True)
+    # 1-key stable compaction: live products to the front in (t, then
+    # product order); 3 int32 arrays instead of the 4-5 of a full merge
+    ct, cq, cs = jax.lax.sort((ct, cq, cs), num_keys=1, is_stable=True)
+    ct, cq, cs = ct[:Wl], cq[:Wl], cs[:Wl]
 
-    nheads, new = _reduce_compact(mt, mq, mw, m0, m1, out_cap, two_seeds)
-    ovf = ovf + jnp.maximum(nheads - out_cap, 0)
-    # slots past the head count are stale survivors of the sort; mark
-    # them empty again
-    slot = jnp.arange(out_cap, dtype=jnp.int64)
-    alive = slot < nheads
-    new = (jnp.where(alive, new[0], SENT),
-           jnp.where(alive, new[1], SENT),
-           jnp.where(alive, new[2], 0),
-           jnp.where(alive, new[3], -1),
-           jnp.where(alive, new[4], -1))
-    return new + (ovf,)
+    pfill = state[9]
+    # live <= Wl by construction (_live_window); count any violation as
+    # overflow so the retry path screams instead of silently dropping
+    state = state[:5] + (state[5] + jnp.maximum(live - Wl, 0).astype(
+        jnp.int64),) + state[6:]
+
+    def flush_then_append(st):
+        return _append_pending(
+            _flush_pending(st, out_cap, two_seeds), ct, cq, cs, live, Wl)
+
+    def append_only(st):
+        return _append_pending(st, ct, cq, cs, live, Wl)
+
+    pend_cap = state[6].shape[0]
+    return jax.lax.cond(pfill + Wl > pend_cap, flush_then_append,
+                        append_only, state)
+
+
+def _append_pending(state, ct, cq, cs, live, Wl: int):
+    bt, bq, bw, bs0, bs1, ovf, pt, pq, ps, pfill = state
+    fw = jnp.minimum(pfill, pt.shape[0] - Wl)
+    pt = jax.lax.dynamic_update_slice(pt, ct, (fw,))
+    pq = jax.lax.dynamic_update_slice(pq, cq, (fw,))
+    ps = jax.lax.dynamic_update_slice(ps, cs, (fw,))
+    return (bt, bq, bw, bs0, bs1, ovf, pt, pq, ps, pfill + live)
 
 
 @functools.partial(
@@ -294,9 +375,12 @@ def _spgemm_stage(rows, pos, gid, total_inst, start, state,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("min_shared",))
-def _finalize_state(state, min_shared: int):
-    bt, bq, bw, bs0, bs1, ovf = state
+@functools.partial(jax.jit, static_argnames=("min_shared", "two_seeds"),
+                   donate_argnums=(0,))
+def _finalize_state(state, min_shared: int, two_seeds: bool = True):
+    out_cap = state[0].shape[0]
+    bt, bq, bw, bs0, bs1, ovf = _flush_pending(state, out_cap,
+                                               two_seeds)[:6]
     nnz = jnp.sum((bt != SENT) & (bw >= min_shared))
     npairs = jnp.sum(bt != SENT)
     return dict(t=bt, q=bq, numshared=bw, s0=bs0, s1=bs1,
@@ -304,8 +388,8 @@ def _finalize_state(state, min_shared: int):
 
 
 def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
-                out_cap: int, min_shared: int, full: bool, upper: int,
-                stage_chunks: int = 0, total_chunks: int = 0,
+                out_cap: int, pend_cap: int, min_shared: int, full: bool,
+                upper: int, stage_chunks: int = 0, total_chunks: int = 0,
                 two_seeds: bool = True):
     """Dispatch policy wrapper: stage_chunks == 0 runs the whole multiply
     as one XLA program (`_spgemm_device`); stage_chunks > 0 runs it as a
@@ -318,9 +402,10 @@ def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
     if stage_chunks <= 0:
         return _spgemm_device(rows, pos, gid, total_inst,
                               chunk_inst=chunk_inst, out_cap=out_cap,
+                              pend_cap=pend_cap,
                               min_shared=min_shared, full=full, upper=upper,
                               two_seeds=two_seeds)
-    state = _empty_state(out_cap)
+    state = _empty_state(out_cap, pend_cap)
     start = 0
     while start < total_chunks:
         state = _spgemm_stage(rows, pos, gid, total_inst,
@@ -329,7 +414,8 @@ def _run_spgemm(rows, pos, gid, total_inst, *, chunk_inst: int,
                               full=full, upper=upper, steps=stage_chunks,
                               two_seeds=two_seeds)
         start += stage_chunks
-    return _finalize_state(state, min_shared=min_shared)
+    return _finalize_state(state, min_shared=min_shared,
+                           two_seeds=two_seeds)
 
 
 def upload_kmer_matrix(A: KmerMatrix, upper: int = 0,
@@ -384,27 +470,31 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
         upper = int(counts.max()) if len(counts) else 1
     span = max(2 * upper - 1 if full else upper - 1, 1)
     if chunk_inst == 0:
-        # span product slots per instance: budget ~2^26 slots per chunk
-        # (x 6 int32 arrays x sort double-buffering ~= 3GB HBM)
-        chunk_inst = max((1 << 26) // span, 1 << 18)
+        # span product slots per instance: budget ~2^25 slots per chunk.
+        # Smaller chunks suit the pending design: the cheap 1-key
+        # compaction runs per chunk while the expensive flush amortizes
+        # over however many chunks the pending buffer holds.
+        chunk_inst = max((1 << 25) // span, 1 << 18)
     dev, total, upper, chunk_inst = upload_kmer_matrix(A, upper, chunk_inst,
                                                        counts=counts)
     if out_cap == 0:
         # distinct pairs are usually << products; a capped default keeps
-        # the per-chunk merge small and the retry loop covers undershoot
+        # the flush merge small and the retry loop covers undershoot
         out_cap = _pow2(max(min(4 * A.nnz, 1 << 24), 1 << 14))
     chunk_slots = chunk_inst * span
-    out_cap = min(out_cap, _out_cap_max(chunk_slots))
+    out_cap = min(out_cap, _out_cap_max(chunk_slots, chunk_inst))
     nchunks = max(-(-A.nnz // chunk_inst), 1)
     for _ in range(max_retries):
         res = _run_spgemm(dev["rows"], dev["pos"], dev["gid"],
                           dev["total_inst"],
                           chunk_inst=chunk_inst, out_cap=out_cap,
+                          pend_cap=_pend_cap_for(out_cap, chunk_slots,
+                                                 chunk_inst),
                           min_shared=min_shared, full=full, upper=upper,
                           stage_chunks=stage_chunks, total_chunks=nchunks)
         if int(res["stats"]["overflow"]) == 0:
             return res, total
-        out_cap = _grow_out_cap(out_cap, chunk_slots,
+        out_cap = _grow_out_cap(out_cap, chunk_slots, chunk_inst,
                                 "build_seed_matrix_device")
     raise RuntimeError(
         f"device SpGEMM accumulator overflow at out_cap={out_cap}")
@@ -442,7 +532,7 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
             "supports reads shorter than 32k bases; use the host path")
     N = int(count_res["rid"].shape[0])
     span = max(2 * upper - 1 if full else upper - 1, 1)
-    CI = max((1 << 26) // span, 1 << 18)
+    CI = max((1 << 25) // span, 1 << 18)
     CI = min(CI, _pow2(max(N, 1 << 10)))
     nchunks_max = -(-N // CI)
     npad = _pow2(nchunks_max * CI + 2 * upper)
@@ -452,19 +542,20 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
     total_inst = count_res["nnz"].astype(jnp.int32)
     if out_cap == 0:
         out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
-    out_cap = min(out_cap, _out_cap_max(CI * span))
+    out_cap = min(out_cap, _out_cap_max(CI * span, CI))
     # live chunk count for the staged host loop (one tiny scalar fetch)
     nchunks = max(-(-int(count_res["nnz"]) // CI), 1) if stage_chunks \
         else nchunks_max
     for _ in range(max_retries):
         res = _run_spgemm(rows, pos_p, gid_p, total_inst,
                           chunk_inst=CI, out_cap=out_cap,
+                          pend_cap=_pend_cap_for(out_cap, CI * span, CI),
                           min_shared=min_shared, full=full, upper=upper,
                           stage_chunks=stage_chunks, total_chunks=nchunks,
                           two_seeds=two_seeds)
         if int(res["stats"]["overflow"]) == 0:
             return res
-        out_cap = _grow_out_cap(out_cap, CI * span,
+        out_cap = _grow_out_cap(out_cap, CI * span, CI,
                                 "spgemm_from_device_count")
     raise RuntimeError(
         f"device SpGEMM accumulator overflow at out_cap={out_cap}")
@@ -489,11 +580,15 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
     """
     assert upper <= 256
     span = max(2 * upper - 1 if full else upper - 1, 1)
-    # worst-case chunk slots for the retry clamp (per-part CI may shrink
-    # for small parts, which only loosens the true bound)
-    chunk_slots_max = max((1 << 26) // span, 1 << 18) * span
+    # chunk-size budget; the effective CI_max locks at the FIRST part's
+    # shape (later, larger parts just run more chunks of that CI), so
+    # the pending capacity — part of the carried state's shape — is
+    # sized to the workload, not the worst case
+    CI_budget = max((1 << 25) // span, 1 << 18)
+    CI_max = CI_budget
+    chunk_slots_max = CI_max * span
     if out_cap:
-        out_cap = min(out_cap, _out_cap_max(chunk_slots_max))
+        out_cap = min(out_cap, _out_cap_max(chunk_slots_max, CI_max))
     for _ in range(max_retries):
         state = None
         overflowed = False
@@ -504,17 +599,23 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                     "SpGEMM supports reads shorter than 32k bases; use "
                     "the host path")
             N = int(part["km"].shape[0])
-            CI = max((1 << 26) // span, 1 << 18)
-            CI = min(CI, _pow2(max(N, 1 << 10)))
+            if state is None:
+                CI_max = min(CI_budget, _pow2(max(N, 1 << 10)))
+                chunk_slots_max = CI_max * span
+            CI = min(CI_max, _pow2(max(N, 1 << 10)))
             npad = _pow2(-(-N // CI) * CI + 2 * upper)
             rows, pos_p, gid_p = _relayout_from_count(
                 part["rid"], part["pos"], part["rank"], part["nnz"],
                 upper, npad)
             if out_cap == 0:
                 out_cap = _pow2(max(min(4 * N, 1 << 24), 1 << 14))
-                out_cap = min(out_cap, _out_cap_max(chunk_slots_max))
+                out_cap = min(out_cap, _out_cap_max(chunk_slots_max,
+                                                    CI_max))
             if state is None:
-                state = _empty_state(out_cap)
+                state = _empty_state(out_cap,
+                                     _pend_cap_for(out_cap,
+                                                   chunk_slots_max,
+                                                   CI_max))
             total_inst = part["nnz"].astype(jnp.int32)
             nchunks = max(-(-int(part["nnz"]) // CI), 1)
             steps = stage_chunks if stage_chunks > 0 else nchunks
@@ -546,11 +647,13 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
         if not overflowed:
             if state is None:   # parts_fn yielded nothing: empty B
                 state = _empty_state(out_cap or (1 << 14))
-            res = _finalize_state(state, min_shared=min_shared)
+            res = _finalize_state(state, min_shared=min_shared,
+                                  two_seeds=two_seeds)
+            state = None        # donated to the finalize program
             if int(res["stats"]["overflow"]) == 0:
                 return res
         del state
-        out_cap = _grow_out_cap(out_cap, chunk_slots_max,
+        out_cap = _grow_out_cap(out_cap, chunk_slots_max, CI_max,
                                 "spgemm_from_count_parts")
     raise RuntimeError(
         f"device SpGEMM accumulator overflow at out_cap={out_cap}")

@@ -139,8 +139,19 @@ def _count_part(codes, lengths, part_lo, part_hi, nk_offset,
             jnp.bool_(False))
     f, bkm, brid, bpos, ovf = jax.lax.fori_loop(0, C, body, init)
 
-    # merge the sorted runs; equal-key ties keep run (= ascending rid) order
-    km, rid, pos = jax.lax.sort((bkm, brid, bpos), num_keys=1,
+    res = _finalize_kmrun(bkm, brid, bpos, nk_offset, lower, upper)
+    res["overflow"] = ovf
+    return res
+
+
+def _finalize_kmrun(km, rid, pos, nk_offset, lower: int, upper: int):
+    """Shared counting tail (traceable): stable 1-key merge sort by k-mer
+    value (equal-value ties keep array order, which every caller arranges
+    to be global (rid, pos) order), reliable [lower, upper] filter,
+    head-rank assignment, dead-compaction.  Used by _count_part, the
+    grouped counter's finalize, and the token-sweep counter — one copy so
+    the three paths stay bit-identical by construction."""
+    km, rid, pos = jax.lax.sort((km, rid, pos), num_keys=1,
                                 is_stable=True)
     n = km.shape[0]
     bound = jnp.concatenate([jnp.ones(1, bool), km[1:] != km[:-1]])
@@ -154,7 +165,7 @@ def _count_part(codes, lengths, part_lo, part_hi, nk_offset,
     _, km2, rid2, pos2, rank2 = jax.lax.sort(
         (dead, km, rid, pos, rank), num_keys=1, is_stable=True)
     return dict(km=km2, rid=rid2, pos=pos2, rank=rank2,
-                nnz=jnp.sum(rel), nk=jnp.sum(head), overflow=ovf)
+                nnz=jnp.sum(rel), nk=jnp.sum(head))
 
 
 def _pow2(x: int) -> int:

@@ -140,21 +140,8 @@ def _finalize_part(bkm, brid, bpos, nk_offset, lower: int, upper: int):
     head-rank + dead-compaction — the tail of count_chunked._count_part,
     bit-identical (the stable merge keeps (rid, pos) order on value
     ties because runs are appended in ascending read-id order)."""
-    km, rid, pos = jax.lax.sort((bkm, brid, bpos), num_keys=1,
-                                is_stable=True)
-    n = km.shape[0]
-    bound = jnp.concatenate([jnp.ones(1, bool), km[1:] != km[:-1]])
-    gid = jnp.cumsum(bound.astype(jnp.int32)) - 1
-    cnt = jax.ops.segment_sum(
-        jnp.ones(n, jnp.int32), gid, num_segments=n)[gid]
-    rel = (km != SENTK) & (cnt >= lower) & (cnt <= upper)
-    head = bound & rel
-    rank = jnp.cumsum(head.astype(jnp.int32)) - 1 + nk_offset
-    dead = (~rel).astype(jnp.int32)
-    _, km2, rid2, pos2, rank2 = jax.lax.sort(
-        (dead, km, rid, pos, rank), num_keys=1, is_stable=True)
-    return dict(km=km2, rid=rid2, pos=pos2, rank=rank2,
-                nnz=jnp.sum(rel), nk=jnp.sum(head))
+    from .count_chunked import _finalize_kmrun
+    return _finalize_kmrun(bkm, brid, bpos, nk_offset, lower, upper)
 
 
 def iter_count_parts_grouped(readset, k: int, lower: int, upper: int,

@@ -56,10 +56,11 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
     k-mer histogram and dumps B/R matrices, >=3 also dumps A
     (ELBALogger.cpp:5-43, main.cpp:449-485).
 
-    count_parts/count_group: beyond-HBM device counting geometry (0 =
-    auto); on TPU, instance sets past the single-shot sort's HBM ceiling
-    count multi-pass (kmers/count_grouped.py) chained into the device
-    SpGEMM, `count_group` value ranges per read sweep."""
+    count_parts: beyond-HBM device counting geometry (0 = auto); on TPU,
+    instance sets past the single-shot sort's HBM ceiling count
+    multi-pass via token sweeps (kmers/count_tokens.py) chained into the
+    device SpGEMM.  count_group is kept for CLI compatibility (the token
+    counter sizes its own ranges-per-sweep from the token budget)."""
     from .utils.logging import PhaseTimer
     timer = PhaseTimer(sync=False)
     timings = timer.phases
@@ -89,10 +90,10 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
                  and readset.max_length < (1 << 15) and log_level < 2)
     chain = dev_count and chainable
     # beyond the single-shot sort's HBM ceiling: multi-pass counting over
-    # k-mer value ranges (one sweep fills count_group part buffers),
-    # chained part-by-part into the device SpGEMM — bounded memory, bit-
-    # identical outputs (kmers/count_grouped.py).  Auto on TPU; an
-    # explicit count_parts opts in on any backend.
+    # k-mer value ranges (token sweeps harvest ~dozens of ranges per
+    # read sweep), chained part-by-part into the device SpGEMM — bounded
+    # memory, bit-identical outputs (kmers/count_tokens.py).  Auto on
+    # TPU; an explicit count_parts opts in on any backend.
     multi = (params.k <= 32 and not dev_count and chainable
              and (on_tpu or count_parts > 0))
 
@@ -139,22 +140,21 @@ def run_pipeline(fasta_path: str, params: PipelineParams,
                                       seed_matrix_from_device_result)
         if multi:
             from .kmers.count import KmerMatrixSummary
-            from .kmers.count_grouped import iter_count_parts_grouped
+            from .kmers.count_tokens import iter_count_parts_tokens
             from .dsparse.seedmat_device import spgemm_from_count_parts
             total_inst = int(np.maximum(
                 np.asarray(readset.lengths, np.int64)
                 - (params.k - 1), 0).sum())
             parts = count_parts or max(2, -(-total_inst // 60_000_000))
-            group = max(1, min(count_group, parts))
             if log:
-                log(f"[elba-tpu] multi-pass counting: {parts} parts in "
-                    f"groups of {group}, {total_inst} raw instances")
+                log(f"[elba-tpu] multi-pass token counting: {parts} "
+                    f"parts, {total_inst} raw instances")
 
             def parts_fn():
                 multi_agg["nk"] = multi_agg["nnz"] = 0
-                for res in iter_count_parts_grouped(
+                for res in iter_count_parts_tokens(
                         readset, params.k, params.lower_freq,
-                        params.upper_freq, parts=parts, group=group):
+                        params.upper_freq, parts=parts):
                     multi_agg["nk"] += int(res["nk"])
                     multi_agg["nnz"] += int(res["nnz"])
                     yield res

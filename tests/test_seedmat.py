@@ -258,21 +258,30 @@ def test_chained_device_spgemm_two_seeds_false(rng):
 
 
 def test_out_cap_retry_clamped_to_compile_bound():
-    """Overflow retries must never mint a merge-sort shape past the
-    remote compile helper's survivable size (chunk slots + out_cap)."""
+    """Overflow retries must never mint a flush-sort shape past the
+    remote compile helper's survivable size (out_cap + pending, where
+    pending must hold at least one live window)."""
     import pytest
     from elba_tpu.dsparse.seedmat_device import (_grow_out_cap,
-                                                 _out_cap_max)
+                                                 _live_window,
+                                                 _out_cap_max,
+                                                 _pend_cap_for)
     from elba_tpu.kmers.count_chunked import COMPILE_CAP
 
-    chunk_slots = 1 << 26
-    cap_max = _out_cap_max(chunk_slots)
-    assert cap_max + chunk_slots <= COMPILE_CAP
+    chunk_slots = 1 << 25
+    ci = chunk_slots // 34
+    cap_max = _out_cap_max(chunk_slots, ci)
+    assert cap_max + _live_window(chunk_slots, ci) <= COMPILE_CAP
+    # the flush sort (out_cap + pend_cap) stays at/below the bound and
+    # pending always has room for one compacted chunk window
+    pend = _pend_cap_for(cap_max, chunk_slots, ci)
+    assert cap_max + pend <= COMPILE_CAP
+    assert pend >= _live_window(chunk_slots, ci) + 1024
     # doubling clamps to cap_max rather than overshooting
-    assert _grow_out_cap(cap_max // 2 + 1, chunk_slots, "t") == cap_max
+    assert _grow_out_cap(cap_max // 2 + 1, chunk_slots, ci, "t") == cap_max
     # at the bound, the retry fails loudly instead of compiling
     with pytest.raises(RuntimeError, match="compile-bound"):
-        _grow_out_cap(cap_max, chunk_slots, "t")
+        _grow_out_cap(cap_max, chunk_slots, ci, "t")
 
 
 def test_pos_guard_ignores_dead_slots():
@@ -318,4 +327,5 @@ def test_staged_dispatch_requires_total_chunks(rng):
     z = jnp.zeros(1024, jnp.int32)
     with pytest.raises(AssertionError, match="total_chunks"):
         _run_spgemm(z, z, z, jnp.int32(0), chunk_inst=256, out_cap=256,
-                    min_shared=2, full=False, upper=4, stage_chunks=2)
+                    pend_cap=2048, min_shared=2, full=False, upper=4,
+                    stage_chunks=2)

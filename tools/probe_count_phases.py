@@ -68,8 +68,8 @@ def main():
         nnz += int(part["nnz"])
 
         N = int(part["km"].shape[0])
-        CI = max((1 << 26) // span, 1 << 18)
-        CI = min(CI, sd._pow2(max(N, 1 << 10)))
+        CI_max = max((1 << 25) // span, 1 << 18)
+        CI = min(CI_max, sd._pow2(max(N, 1 << 10)))
         npad = sd._pow2(-(-N // CI) * CI + 2 * upper)
         t0 = time.time()
         rows, pos_p, gid_p = sd._relayout_from_count(
@@ -78,7 +78,8 @@ def main():
         rows.block_until_ready()
         relayout_s.append(round(time.time() - t0, 2))
         if state is None:
-            state = sd._empty_state(out_cap)
+            state = sd._empty_state(
+                out_cap, sd._pend_cap_for(out_cap, CI_max * span, CI_max))
         total_inst = part["nnz"].astype(jnp.int32)
         nchunks = max(-(-int(part["nnz"]) // CI), 1)
         start = 0

@@ -68,10 +68,19 @@ def parse_args(argv=None):
                     help="force multi-pass counting with N k-mer value "
                          "ranges (0 = auto by HBM footprint)")
     ap.add_argument("--count-group", type=int, default=1,
-                    help="share one read sweep across N consecutive count "
-                         "parts (kmers/count_grouped.py); N part buffers "
-                         "live in HBM at once, so N*cap*16B must fit "
-                         "beside the read array (1 = one sweep per part)")
+                    help="grouped mode only: share one read sweep across "
+                         "N consecutive count parts "
+                         "(kmers/count_grouped.py); N part buffers live "
+                         "in HBM at once, so N*cap*16B must fit beside "
+                         "the read array (1 = one sweep per part)")
+    ap.add_argument("--count-mode", default="auto",
+                    choices=["auto", "tokens", "grouped", "chunked"],
+                    help="multi-pass counting variant: token sweeps "
+                         "(near-linear, kmers/count_tokens.py), grouped "
+                         "fills, or one range per sweep; auto = tokens")
+    ap.add_argument("--token-budget", type=int, default=2_500_000_000,
+                    help="token-sweep mode: HBM bytes for the token "
+                         "buffer (sizes ranges-per-sweep)")
     return ap.parse_args(argv)
 
 
@@ -211,12 +220,24 @@ def stage_count(args):
         t0 = time.time()
         agg = dict(nk=0, nnz=0)
 
-        if args.count_group > 1:
+        def _sweep_log(event, **info):
+            print(f"[stage count] {event}: {info}", flush=True)
+
+        mode = args.count_mode
+        if mode == "auto":
+            mode = "tokens"
+        if mode == "tokens":
+            from elba_tpu.kmers.count_tokens import iter_count_parts_tokens
+
+            def _iter_parts():
+                return iter_count_parts_tokens(
+                    readset, params.k, params.lower_freq,
+                    params.upper_freq, parts=parts, cap=count_cap,
+                    token_budget_bytes=args.token_budget,
+                    progress=_sweep_log)
+        elif mode == "grouped" and args.count_group > 1:
             from elba_tpu.kmers.count_grouped import \
                 iter_count_parts_grouped
-
-            def _sweep_log(event, **info):
-                print(f"[stage count] {event}: {info}", flush=True)
 
             def _iter_parts():
                 return iter_count_parts_grouped(
@@ -241,17 +262,20 @@ def stage_count(args):
                 tp = time.time()
                 yield res
 
-        # B-accumulator capacity: the default (16.7M pairs) fit
-        # C. elegans-30X (11.2M nnz ~= reads * coverage, the expected
-        # overlapping-pair count) but chr1-scale rungs hold ~2x the
-        # distinct pairs; an overflow re-runs counting parts, so pre-size
-        # at giant rungs.  Every chunk step re-sorts the accumulator, so
-        # oversizing is not free — spgemm_from_count_parts detects
-        # overflow after ONE part and retries doubled, bounding the
-        # mis-estimate cost.
+        # B-accumulator capacity from the validated pair model
+        # (B nnz ~= reads * coverage: cel30 11.19M actual vs 11.25M
+        # predicted, E. coli-30X 514k vs 517k).  Undersizing forces a
+        # doubled-cap retry that re-runs counting parts — hours at giant
+        # rungs — so pre-size with 40% headroom once the 16.7M default
+        # stops covering the model; the flush merge scales with the
+        # capacity, so don't oversize either.
         print(f"[stage count] multi-pass counting: {parts} parts, "
               f"{total_inst} raw instances", flush=True)
-        b_cap = (1 << 25) if total_inst > 3_000_000_000 else 0
+        total_bases = int(np.asarray(readset.lengths, np.int64).sum())
+        expected_pairs = int(len(readset) * total_bases / max(args.genome, 1))
+        b_cap = 0
+        if expected_pairs * 14 // 10 > (1 << 24):
+            b_cap = -(-(expected_pairs * 14 // 10) // 1024) * 1024
         bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
                                        min_shared=2, full=False,
                                        out_cap=b_cap,
