@@ -140,3 +140,47 @@ def test_tokens_feed_chained_spgemm(rng):
     assert len(b0["q"]) > 0
     for f in b0:
         assert np.array_equal(b0[f], b1[f]), f
+
+
+def test_windowed_extractor_matches_rolling(rng):
+    """The rolled-window extractor (static-shift word views) must equal
+    extract_canonical_kmers bit-for-bit on valid windows, including the
+    k = 32 full-width edge."""
+    import jax.numpy as jnp
+    from elba_tpu.kmers.count_chunked import pack_code_rows
+    from elba_tpu.kmers.count_tokens import (_extract_canonical_words,
+                                             pack_code_words)
+    from elba_tpu.kmers.extract import extract_canonical_kmers
+
+    R, L = 12, 256
+    lens = rng.integers(33, L + 1, R).astype(np.int32)
+    codes = np.zeros((R, L), np.uint8)
+    for i in range(R):
+        codes[i, :lens[i]] = random_dna(rng, int(lens[i]))
+    words = pack_code_words(pack_code_rows(codes))
+    for k in (5, 17, 31, 32):
+        ref, vref = extract_canonical_kmers(jnp.asarray(codes),
+                                            jnp.asarray(lens), k)
+        got, vgot = _extract_canonical_words(
+            jnp.asarray(words[:, :-1]), jnp.asarray(lens), k)
+        assert np.array_equal(np.asarray(vref), np.asarray(vgot))
+        v = np.asarray(vref)
+        assert np.array_equal(np.asarray(ref)[v], np.asarray(got)[v]), k
+
+
+def test_tokens_multi_sweep_budget(rng):
+    """A tiny token budget must force several sweeps (group auto-sizing)
+    and still reproduce the reference parts exactly."""
+    rs = _overlapping_readset(rng)
+    k = 17
+    ref = list(iter_count_parts(rs, k, 2, 8, parts=9, read_chunk=8))
+    got = list(iter_count_parts_tokens(rs, k, 2, 8, parts=9, group=0,
+                                       read_chunk=8,
+                                       token_budget_bytes=1 << 16))
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        nnz = int(a["nnz"])
+        assert nnz == int(b["nnz"])
+        for f in ("km", "rid", "pos", "rank"):
+            assert np.array_equal(np.asarray(a[f][:nnz]),
+                                  np.asarray(b[f][:nnz])), f
