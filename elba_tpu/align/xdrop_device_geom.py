@@ -72,7 +72,12 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
     lenT = lengths[tidx]
 
     def _pcode(ob, l):
-        byte = codes[ob + (l >> 2)].astype(i32)
+        # ob is a uint32 BYTE offset (packed arrays past 2^31 bytes =
+        # 8.6 Gbp appear at rice-30X scale); l may be negative, so shift
+        # arithmetically in int32 first and let uint32 wraparound produce
+        # the exact sum — the winpad padding guarantees the true index is
+        # >= 0, and modulo-2^32 addition is exact for in-range results
+        byte = codes[ob + (l >> 2).astype(jnp.uint32)].astype(i32)
         return (byte >> (6 - 2 * (l & 3))) & 3
 
     def _b(v, pos):
@@ -157,8 +162,9 @@ def _align_batch_fused_geom(g: Geometry, nitems: int, k: int, codes, offB,
         sh = jnp.arange(4, dtype=i32) * 2
 
         def one(ob, l):
+            # same uint32 byte-offset discipline as _pcode
             b = jax.lax.dynamic_slice(
-                codes, (ob + (l >> 2),), (nb,)).astype(i32)
+                codes, (ob + (l >> 2).astype(jnp.uint32),), (nb,)).astype(i32)
             c = ((b[:, None] >> (6 - sh)[None, :]) & 3).reshape(nb * 4)
             return jax.lax.dynamic_slice(c, (l & 3,), (width,))
 
@@ -316,12 +322,14 @@ class GeomDeviceAligner:
                                 np.zeros(tail, np.uint8)])
         from ..dseq.dna import pack_2bit
         packed = np.concatenate([pack_2bit(codes), np.zeros(1, np.uint8)])
-        assert packed.size < 2 ** 31, \
-            "packed code array must fit int32 indexing (~8.6 Gbp)"
+        assert packed.size < 2 ** 32, \
+            "packed code array must fit uint32 indexing (~17.2 Gbp)"
         off = readset.offsets.astype(np.int64) + winpad
         self._dev = dict(
             codes=jax.device_put(packed),
-            offB=jax.device_put((off >> 2).astype(np.int32)),
+            # uint32 byte offsets: int32 capped the resident read array
+            # at 8.6 Gbp, one rung short of rice-30X (11.4 Gbp)
+            offB=jax.device_put((off >> 2).astype(np.uint32)),
             offR=jax.device_put((off & 3).astype(np.int32)),
             lengths=jax.device_put(readset.lengths.astype(np.int32)),
         )

@@ -561,10 +561,49 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
         f"device SpGEMM accumulator overflow at out_cap={out_cap}")
 
 
+@functools.partial(jax.jit, static_argnames=("two_seeds",))
+def _flush_state(state, two_seeds: bool = True):
+    """Standalone pending flush (checkpoint boundaries)."""
+    return _flush_pending(state, state[0].shape[0], two_seeds)
+
+
+def _host_prefix(state):
+    """Fetch a FLUSHED state's live prefix as numpy arrays.  Slicing to
+    the live pair count before fetching matters: the tunnel moves
+    ~20-25 MB/s device->host and the capacity is mostly empty."""
+    n = int(jnp.sum(state[0] != SENT))
+    return dict(t=np.asarray(state[0][:n]), q=np.asarray(state[1][:n]),
+                w=np.asarray(state[2][:n]), s0=np.asarray(state[3][:n]),
+                s1=np.asarray(state[4][:n]),
+                overflow=int(state[5]))
+
+
+def state_to_host(state, two_seeds: bool = True):
+    """Flush and fetch the accumulator's live prefix — the
+    checkpointable representation of a partially-consumed multiply."""
+    return _host_prefix(_flush_state(state, two_seeds))
+
+
+def _state_from_host(host, out_cap: int, pend_cap: int):
+    """Rebuild the device state from a checkpoint prefix (pending empty)."""
+    n = len(host["t"])
+    assert n <= out_cap, (n, out_cap)
+    pad = lambda a, fill: np.concatenate(
+        [a.astype(np.int32), np.full(out_cap - n, fill, np.int32)])
+    z = lambda fill: jnp.full((pend_cap,), fill, jnp.int32)
+    return (jnp.asarray(pad(host["t"], SENT)),
+            jnp.asarray(pad(host["q"], SENT)),
+            jnp.asarray(pad(host["w"], 0)),
+            jnp.asarray(pad(host["s0"], -1)),
+            jnp.asarray(pad(host["s1"], -1)),
+            jnp.int64(int(host.get("overflow", 0))),
+            z(SENT), z(SENT), z(-1), jnp.int32(0))
+
+
 def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                             full: bool = False, out_cap: int = 0,
                             max_retries: int = 3, stage_chunks: int = 0,
-                            two_seeds: bool = True):
+                            two_seeds: bool = True, resume=None):
     """Chained device SpGEMM over MULTI-PASS counting results
     (kmers.count_chunked.iter_count_parts): the accumulator state carries
     across parts, so total instance memory is bounded by ONE part while
@@ -577,6 +616,20 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
     parts_fn: ZERO-ARG callable returning a fresh part iterator; it is
     re-invoked when an accumulator overflow forces a doubled-capacity
     retry.
+
+    resume (optional dict) makes the multiply checkpointable against
+    tunnel/worker crashes (the accumulator otherwise lives only on
+    device):
+      state: host prefix from `state_to_host` to seed the accumulator
+             (parts_fn must then yield only the unconsumed parts)
+      every: save cadence in parts
+      save:  callable(consumed_count, host_state) invoked after every
+             `every` consumed parts (flush + live-prefix fetch)
+    Flush boundaries do not affect the result bits (the reduction is
+    order-preserving over the canonical product order), so a resumed
+    run stays bit-identical.  An accumulator overflow while resuming
+    raises instead of retrying — the caller must clear its checkpoint
+    and restart the whole multiply at the doubled capacity.
     """
     assert upper <= 256
     span = max(2 * upper - 1 if full else upper - 1, 1)
@@ -589,9 +642,12 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
     chunk_slots_max = CI_max * span
     if out_cap:
         out_cap = min(out_cap, _out_cap_max(chunk_slots_max, CI_max))
+    assert resume is None or out_cap > 0, \
+        "resume needs a deterministic explicit out_cap"
     for _ in range(max_retries):
         state = None
         overflowed = False
+        consumed = 0
         for part in parts_fn():
             if _live_pos_max(part["pos"], part["nnz"]) >= (1 << PACK):
                 raise ValueError(
@@ -612,10 +668,12 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                 out_cap = min(out_cap, _out_cap_max(chunk_slots_max,
                                                     CI_max))
             if state is None:
-                state = _empty_state(out_cap,
-                                     _pend_cap_for(out_cap,
-                                                   chunk_slots_max,
-                                                   CI_max))
+                pend_cap = _pend_cap_for(out_cap, chunk_slots_max, CI_max)
+                if resume is not None and resume.get("state") is not None:
+                    state = _state_from_host(resume["state"], out_cap,
+                                             pend_cap)
+                else:
+                    state = _empty_state(out_cap, pend_cap)
             total_inst = part["nnz"].astype(jnp.int32)
             nchunks = max(-(-int(part["nnz"]) // CI), 1)
             steps = stage_chunks if stage_chunks > 0 else nchunks
@@ -644,15 +702,36 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
             if int(state[5]) > 0:
                 overflowed = True
                 break
+            consumed += 1
+            if (resume is not None and resume.get("every")
+                    and resume.get("save")
+                    and consumed % resume["every"] == 0):
+                # flush first so the kept state does the work too (flush
+                # boundaries don't change the result bits)
+                state = _flush_state(state, two_seeds)
+                if int(state[5]) > 0:
+                    overflowed = True
+                    break
+                resume["save"](consumed, _host_prefix(state))
         if not overflowed:
-            if state is None:   # parts_fn yielded nothing: empty B
-                state = _empty_state(out_cap or (1 << 14))
+            if state is None:   # parts_fn yielded nothing
+                if resume is not None and resume.get("state") is not None:
+                    state = _state_from_host(
+                        resume["state"], out_cap,
+                        _pend_cap_for(out_cap, chunk_slots_max, CI_max))
+                else:
+                    state = _empty_state(out_cap or (1 << 14))
             res = _finalize_state(state, min_shared=min_shared,
                                   two_seeds=two_seeds)
             state = None        # donated to the finalize program
             if int(res["stats"]["overflow"]) == 0:
                 return res
         del state
+        if resume is not None:
+            raise RuntimeError(
+                "spgemm_from_count_parts: accumulator overflow while "
+                "resuming — clear the checkpoint and restart the "
+                "multiply at a larger capacity")
         out_cap = _grow_out_cap(out_cap, chunk_slots_max, CI_max,
                                 "spgemm_from_count_parts")
     raise RuntimeError(

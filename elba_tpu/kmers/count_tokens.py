@@ -282,7 +282,8 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
                             token_cap: int = 0,
                             token_budget_bytes: int = 2_500_000_000,
                             max_retries: int = 3, slack: float = 1.2,
-                            progress=None):
+                            progress=None, start_part: int = 0,
+                            nk_offset0: int = 0):
     """Generator of per-part device counting results, token-sweep variant.
 
     Yields exactly what count_chunked.iter_count_parts yields (same
@@ -291,6 +292,11 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
     Token-buffer overflow (aggregate skew beyond `slack`) and parts
     larger than `cap` fall back to the proven single-part counter for
     the affected ranges.
+
+    start_part/nk_offset0 resume mid-run: parts < start_part are skipped
+    (whole sweeps below it never run) and global ranks continue from
+    nk_offset0, which must be the total nk of the skipped parts — the
+    checkpoint/restart contract of the ladder's count stage.
     """
     assert k <= 32, "token counting packs one uint64 (k <= 32)"
     rc, cap_auto, bounds = plan_parts(readset, k, parts, read_chunk)
@@ -329,9 +335,11 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
     codes_u8_d = None  # lazily uploaded for the fallback path only
 
     import time as _time
-    nk_off = 0
+    nk_off = nk_offset0
     for g0 in range(0, parts, group):
         gn = min(group, parts - g0)
+        if g0 + gn <= start_part:
+            continue    # whole sweep already consumed by the resume
         t_sweep = _time.time()
         bvec = np.zeros(group + 1, np.uint64)
         for i in range(group + 1):
@@ -358,6 +366,8 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
             within_excl = np.cumsum(counts_h, axis=1) - counts_h
         for i in range(gn):
             p = g0 + i
+            if p < start_part:
+                continue
             if fallback_all or part_tot[i] > cap:
                 # aggregate skew (buffer overflow) or one hot part past
                 # the part cap: the proven single-part path with the

@@ -184,3 +184,60 @@ def test_tokens_multi_sweep_budget(rng):
         for f in ("km", "rid", "pos", "rank"):
             assert np.array_equal(np.asarray(a[f][:nnz]),
                                   np.asarray(b[f][:nnz])), f
+
+
+def test_spgemm_resume_checkpoint_bitexact(rng):
+    """Crash-resume of the chained multiply: seeding the accumulator
+    from a mid-run checkpoint (flushed live prefix) and replaying only
+    the unconsumed parts must give the same B bit-for-bit."""
+    from elba_tpu.dsparse.seedmat_device import (spgemm_from_count_parts,
+                                                 device_result_to_host)
+    rs = _overlapping_readset(rng, genome_len=3000, n_reads=60,
+                              read_len=400)
+    k, lower, upper = 17, 2, 8
+    P = 6
+
+    def full_fn():
+        return iter_count_parts_tokens(rs, k, lower, upper, parts=P,
+                                       group=2, read_chunk=8)
+
+    b0 = device_result_to_host(
+        spgemm_from_count_parts(full_fn, upper, min_shared=2, full=False,
+                                out_cap=1 << 14),
+        min_shared=2)
+
+    saves, nks = [], []
+
+    def wrapped():
+        for res in full_fn():
+            nks.append(int(res["nk"]))
+            yield res
+
+    resume = dict(state=None, every=2,
+                  save=lambda c, h: saves.append((c, h)))
+    b1 = device_result_to_host(
+        spgemm_from_count_parts(wrapped, upper, min_shared=2, full=False,
+                                out_cap=1 << 14, resume=resume),
+        min_shared=2)
+    for f in b0:
+        assert np.array_equal(b0[f], b1[f]), f  # checkpointing is inert
+    assert len(saves) >= 2
+
+    # "crash" after the second checkpoint: resume from its prefix with a
+    # tail iterator starting at the consumed-part boundary
+    consumed, host = saves[1]
+    nk0 = sum(nks[:consumed])
+
+    def tail_fn():
+        return iter_count_parts_tokens(rs, k, lower, upper, parts=P,
+                                       group=2, read_chunk=8,
+                                       start_part=consumed,
+                                       nk_offset0=nk0)
+
+    b2 = device_result_to_host(
+        spgemm_from_count_parts(tail_fn, upper, min_shared=2, full=False,
+                                out_cap=1 << 14,
+                                resume=dict(state=host)),
+        min_shared=2)
+    for f in b0:
+        assert np.array_equal(b0[f], b2[f]), f

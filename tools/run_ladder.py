@@ -226,15 +226,33 @@ def stage_count(args):
         mode = args.count_mode
         if mode == "auto":
             mode = "tokens"
+        ck = ck_state = None
+        ck_part = ck_nk = ck_nnz = 0
         if mode == "tokens":
             from elba_tpu.kmers.count_tokens import iter_count_parts_tokens
+
+            # the accumulator otherwise lives only on device: checkpoint
+            # the flushed live prefix every few parts so a tunnel/worker
+            # crash resumes mid-count instead of redoing hours (observed:
+            # a dead tunnel connection at part 171/196 of the rice rung)
+            ck = os.path.join(d, "count_ckpt.npz")
+            if os.path.exists(ck):
+                z = np.load(ck)
+                ck_part, ck_nk, ck_nnz = (int(z["part"]), int(z["nk"]),
+                                          int(z["nnz"]))
+                ck_state = {f: z[f] for f in ("t", "q", "w", "s0", "s1")}
+                ck_state["overflow"] = int(z["overflow"])
+                print(f"[stage count] resuming from checkpoint: part "
+                      f"{ck_part}/{parts}, {len(ck_state['t'])} pairs",
+                      flush=True)
 
             def _iter_parts():
                 return iter_count_parts_tokens(
                     readset, params.k, params.lower_freq,
                     params.upper_freq, parts=parts, cap=count_cap,
                     token_budget_bytes=args.token_budget,
-                    progress=_sweep_log)
+                    progress=_sweep_log, start_part=ck_part,
+                    nk_offset0=ck_nk)
         elif mode == "grouped" and args.count_group > 1:
             from elba_tpu.kmers.count_grouped import \
                 iter_count_parts_grouped
@@ -250,17 +268,30 @@ def stage_count(args):
                     readset, params.k, params.lower_freq,
                     params.upper_freq, parts=parts, cap=count_cap)
 
+        cursor = dict(part=ck_part)
+
         def parts_fn():
-            agg["nk"] = agg["nnz"] = 0
+            agg["nk"], agg["nnz"] = ck_nk, ck_nnz
+            cursor["part"] = ck_part
             tp = time.time()
-            for i, res in enumerate(_iter_parts()):
+            for res in _iter_parts():
                 agg["nk"] += int(res["nk"])
                 agg["nnz"] += int(res["nnz"])
-                print(f"[stage count] part {i + 1}/{parts}: "
+                cursor["part"] += 1
+                print(f"[stage count] part {cursor['part']}/{parts}: "
                       f"nk={agg['nk']} nnz={agg['nnz']} "
                       f"({time.time() - tp:.1f}s)", flush=True)
                 tp = time.time()
                 yield res
+
+        def _save_ck(consumed, host):
+            t0 = time.time()
+            np.savez(ck + ".tmp.npz", part=cursor["part"],
+                     nk=agg["nk"], nnz=agg["nnz"], **host)
+            os.replace(ck + ".tmp.npz", ck)
+            print(f"[stage count] checkpoint at part {cursor['part']}: "
+                  f"{len(host['t'])} pairs "
+                  f"({time.time() - t0:.1f}s)", flush=True)
 
         # B-accumulator capacity from the validated pair model
         # (B nnz ~= reads * coverage: cel30 11.19M actual vs 11.25M
@@ -276,10 +307,31 @@ def stage_count(args):
         b_cap = 0
         if expected_pairs * 14 // 10 > (1 << 24):
             b_cap = -(-(expected_pairs * 14 // 10) // 1024) * 1024
-        bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
-                                       min_shared=2, full=False,
-                                       out_cap=b_cap,
-                                       stage_chunks=4, two_seeds=False)
+        resume = None
+        mult_path = os.path.join(d, "count_bcap_mult")
+        if ck is not None:
+            # resume needs a deterministic explicit capacity; a persisted
+            # multiplier doubles it across restarts if it ever overflows
+            # (the checkpoint prefix itself is capacity-independent)
+            mult = (int(open(mult_path).read())
+                    if os.path.exists(mult_path) else 1)
+            b_cap = max(b_cap, 1 << 24) * mult
+            resume = dict(state=ck_state, every=16, save=_save_ck)
+        try:
+            bres = spgemm_from_count_parts(parts_fn, params.upper_freq,
+                                           min_shared=2, full=False,
+                                           out_cap=b_cap,
+                                           stage_chunks=4, two_seeds=False,
+                                           resume=resume)
+        except RuntimeError:
+            if ck is not None:
+                with open(mult_path, "w") as f:
+                    f.write(str(mult * 2))
+            raise
+        if ck is not None:
+            for p in (ck, mult_path):
+                if os.path.exists(p):
+                    os.remove(p)
         nk, nnz = agg["nk"], agg["nnz"]
         t_count = 0.0  # interleaved with the multiply; reported there
     else:
