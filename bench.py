@@ -173,10 +173,11 @@ def bench_spgemm():
     out_cap = 1 << 23
     from elba_tpu.dsparse.seedmat_device import _pend_cap_for
     span = 2 * upper - 1
+    nchunks = -(-A.nnz // chunk_inst)
     args = (dev["rows"], dev["pos"], dev["gid"], dev["total_inst"])
     kw = dict(chunk_inst=chunk_inst, out_cap=out_cap,
               pend_cap=_pend_cap_for(out_cap, chunk_inst * span,
-                                     chunk_inst),
+                                     chunk_inst, nchunks),
               min_shared=2, full=True, upper=upper)
     res = _spgemm_device(*args, **kw)            # compile + run
     jax.block_until_ready(res["t"])

@@ -79,14 +79,19 @@ def _grow_out_cap(out_cap: int, chunk_slots: int, chunk_inst: int,
     return min(2 * out_cap, cap_max)
 
 
-def _pend_cap_for(out_cap: int, chunk_slots: int, chunk_inst: int) -> int:
+def _pend_cap_for(out_cap: int, chunk_slots: int, chunk_inst: int,
+                  total_chunks: int = 0) -> int:
     """Pending-buffer capacity: a few live windows' worth (so flushes
     amortize over several chunks), scaled to the problem rather than
-    always maximal — interior flushes sort the FULL static capacity, so
-    an oversized pending just sorts empty slots on small inputs."""
+    always maximal — every flush (including the final one) sorts the
+    FULL static capacity, so an oversized pending just sorts empty
+    slots.  When the caller knows the run's chunk count, pending never
+    exceeds the whole run's live products."""
     wl = _live_window(chunk_slots, chunk_inst)
-    cap = min(COMPILE_CAP - out_cap,
-              max(4 * wl, 2 * out_cap, 1 << 20))
+    want = max(4 * wl, 2 * out_cap, 1 << 20)
+    if total_chunks > 0:
+        want = min(want, total_chunks * wl + 1024)
+    cap = min(COMPILE_CAP - out_cap, max(want, wl + 1024))
     assert cap >= wl + 1024, (out_cap, chunk_slots, chunk_inst)
     return cap
 
@@ -489,7 +494,7 @@ def build_seed_matrix_device(A: KmerMatrix, min_shared: int = 2,
                           dev["total_inst"],
                           chunk_inst=chunk_inst, out_cap=out_cap,
                           pend_cap=_pend_cap_for(out_cap, chunk_slots,
-                                                 chunk_inst),
+                                                 chunk_inst, nchunks),
                           min_shared=min_shared, full=full, upper=upper,
                           stage_chunks=stage_chunks, total_chunks=nchunks)
         if int(res["stats"]["overflow"]) == 0:
@@ -549,7 +554,8 @@ def spgemm_from_device_count(count_res, upper: int, min_shared: int = 2,
     for _ in range(max_retries):
         res = _run_spgemm(rows, pos_p, gid_p, total_inst,
                           chunk_inst=CI, out_cap=out_cap,
-                          pend_cap=_pend_cap_for(out_cap, CI * span, CI),
+                          pend_cap=_pend_cap_for(out_cap, CI * span, CI,
+                                                 nchunks_max),
                           min_shared=min_shared, full=full, upper=upper,
                           stage_chunks=stage_chunks, total_chunks=nchunks,
                           two_seeds=two_seeds)
