@@ -700,11 +700,16 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
             # (107 x 128M-slot parts) that overlap OOMs the 16GB HBM.
             # Device work is serialized, so blocking costs nothing.
             jax.block_until_ready(state)
-            # state[5] is the running overflow count: bail to the doubled
-            # cap after ONE overflowing part instead of finishing (and
-            # then re-running) every remaining part — at 100+ parts the
-            # difference is hours.  The scalar fetch is free (just
-            # synced).
+            # state[5] is the running overflow count: bail to the
+            # doubled cap EARLY instead of finishing (and then
+            # re-running) every remaining part — at 100+ parts the
+            # difference is hours.  Detection is at FLUSH granularity:
+            # overflow is only counted when _flush_pending merges the
+            # pending buffer into the accumulator, so the bail can lag
+            # the overflowing part by however many chunks the pending
+            # buffer holds (correctness is unaffected — finalize always
+            # flushes — only the wasted re-run work grows by that lag).
+            # The scalar fetch is free (just synced).
             if int(state[5]) > 0:
                 overflowed = True
                 break

@@ -173,7 +173,7 @@ def _pow2(x: int) -> int:
 
 
 def plan_parts(readset, k: int, parts: int, read_chunk: int = 0,
-               slack: float = 1.6):
+               slack: float = 1.6, min_len: int = 0):
     """Size the pass geometry: (read_chunk, cap, boundaries).
 
     cap covers the EXPECTED per-part load (total/parts) with `slack` for
@@ -184,9 +184,15 @@ def plan_parts(readset, k: int, parts: int, read_chunk: int = 0,
     part ~1.9x the mean.  The inverse CDF u = 1 - sqrt(1 - q) equalizes
     expected load per part (verified bit-identical for any boundary
     choice by tests/test_count_chunked.py).
+
+    min_len floors the padded row length L: the token-sweep counter
+    packs rows into uint64 words (L % 32 == 0), so it must size
+    read_chunk/cap with the SAME floored L its fill kernels use —
+    otherwise a readset with max_length < 32 trips the kernels' static
+    cap asserts at trace time instead of the loud slot-bound ValueError.
     """
     n = len(readset)
-    L = _pow2(max(readset.max_length, k + 1))
+    L = max(_pow2(max(readset.max_length, k + 1)), min_len)
     W = L - k + 1
     if read_chunk == 0:
         # ~32M instance slots per chunk: chunk sort stays ~1GB peak.

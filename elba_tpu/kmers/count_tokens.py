@@ -299,7 +299,10 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
     checkpoint/restart contract of the ladder's count stage.
     """
     assert k <= 32, "token counting packs one uint64 (k <= 32)"
-    rc, cap_auto, bounds = plan_parts(readset, k, parts, read_chunk)
+    # min_len=32 so rc/cap are sized with the SAME floored L the fill
+    # kernels use (pack_code_words needs L % 32 == 0)
+    rc, cap_auto, bounds = plan_parts(readset, k, parts, read_chunk,
+                                      min_len=32)
     if cap == 0:
         cap = cap_auto
     cap = min(cap, COMPILE_CAP)

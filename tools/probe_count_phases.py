@@ -98,7 +98,7 @@ def main():
         del rows, pos_p, gid_p, part
 
     t0 = time.time()
-    res = sd._finalize_state(state, min_shared=2)
+    res = sd._finalize_state(state, min_shared=2, two_seeds=False)
     b_nnz = int(res["stats"]["nnz"])
     overflow = int(res["stats"]["overflow"])
     pairs = int(res["stats"]["pairs"])

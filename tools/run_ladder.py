@@ -63,6 +63,15 @@ def parse_args(argv=None):
                          "seconds (the tunnel's remote leg can hang "
                          "forever; a killed stage resumes from its "
                          "checkpoints)")
+    ap.add_argument("--stall-timeout", type=int, default=2100,
+                    help="kill + retry a stage subprocess that prints "
+                         "NOTHING for this many seconds: the tunnel "
+                         "connection dies under sustained load (~every "
+                         "2.2-2.5h observed) leaving the stage hung on a "
+                         "dead connection while a fresh process sees a "
+                         "healthy device.  Must exceed the longest silent "
+                         "remote compile (~25 min observed for giant sort "
+                         "shapes) or a cold-cache stage gets kill-looped")
     ap.add_argument("--align-ckpt", type=int, default=65536)
     ap.add_argument("--count-parts", type=int, default=0,
                     help="force multi-pass counting with N k-mer value "
@@ -323,8 +332,12 @@ def stage_count(args):
                                            out_cap=b_cap,
                                            stage_chunks=4, two_seeds=False,
                                            resume=resume)
-        except RuntimeError:
-            if ck is not None:
+        except RuntimeError as e:
+            # only a B-accumulator overflow warrants doubling the
+            # persisted capacity multiplier; any other device
+            # RuntimeError (count-part rerun requests, tunnel faults)
+            # must not inflate every future flush's merge sort
+            if ck is not None and "overflow" in str(e):
                 with open(mult_path, "w") as f:
                     f.write(str(mult * 2))
             raise
@@ -492,6 +505,64 @@ def stage_graph(args):
                        n50=int(stats["n50"]), steps=steps), f)
 
 
+def _run_stage_watched(cmd, stage_timeout, stall_timeout):
+    """Run one stage subprocess with a stall watchdog.
+
+    Round-3 failure mode: the tunnel connection dies under sustained
+    load and the stage process hangs FOREVER on its dead connection
+    (no output, no exit) while a fresh process would see a healthy
+    device.  The old flat `subprocess.run(timeout=...)` only noticed
+    after the full stage timeout (hours).  Here the child's output is
+    tee'd through a pipe; silence past `stall_timeout` (or total wall
+    past `stage_timeout`) kills the EXACT process group we spawned
+    (never a pattern kill) and the caller retries — the stage resumes
+    from its checkpoints.  Returns the exit code, or "stalled" /
+    "timeout".
+    """
+    import signal
+    import threading
+
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True,
+                            start_new_session=True, env=env)
+    last = [time.time()]
+
+    def _pump():
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            last[0] = time.time()
+
+    th = threading.Thread(target=_pump, daemon=True)
+    th.start()
+
+    def _kill(why):
+        print(f"[orchestrate] watchdog: {why}; killing stage pgid "
+              f"{proc.pid}", flush=True)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait()
+
+    t0 = time.time()
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            th.join(timeout=30)
+            return rc
+        now = time.time()
+        if now - t0 > stage_timeout:
+            _kill(f"stage exceeded {stage_timeout}s wall")
+            return "timeout"
+        if now - last[0] > stall_timeout:
+            _kill(f"no output for {stall_timeout}s (dead tunnel "
+                  "connection?)")
+            return "stalled"
+        time.sleep(5)
+
+
 def orchestrate(args):
     """Run stages as subprocesses; retry on TPU worker crashes."""
     sim_s = ensure_fixture(args)
@@ -518,14 +589,8 @@ def orchestrate(args):
             continue
         t0 = time.time()
         for attempt in range(args.retries):
-            try:
-                r = subprocess.run(base + fwd + ["--stage", stage],
-                                   timeout=args.stage_timeout)
-                rc = r.returncode
-            except subprocess.TimeoutExpired:
-                # dead tunnel leg: the child hangs on a device op forever;
-                # subprocess.run kills it on expiry, checkpoints survive
-                rc = "timeout"
+            rc = _run_stage_watched(base + fwd + ["--stage", stage],
+                                    args.stage_timeout, args.stall_timeout)
             if rc == 0:
                 break
             wait = 90 * (attempt + 1)
