@@ -174,3 +174,22 @@ def test_sim20k_err_outputs_match_golden(tmp_path):
     want = _golden_hashes()["sim20k_err"]
     for ext, h in want.items():
         assert _sha(prefix + ext) == h, f"golden drift in {ext}"
+
+
+def test_ladder_stage_watchdog():
+    """The orchestrator's stall watchdog must kill a silent stage (dead
+    tunnel connection signature), time out an over-wall stage, and pass
+    through a clean exit — each by exact process group, never pattern."""
+    from tools.run_ladder import _run_stage_watched
+    py = sys.executable
+    assert _run_stage_watched([py, "-c", "print('ok')"], 60, 30) == 0
+    assert _run_stage_watched([py, "-c", "raise SystemExit(3)"],
+                              60, 30) == 3
+    rc = _run_stage_watched(
+        [py, "-c", "import time; time.sleep(600)"], 120, 4)
+    assert rc == "stalled"
+    rc = _run_stage_watched(
+        [py, "-c",
+         "import time\nwhile True: print('x', flush=True); time.sleep(1)"],
+        5, 60)
+    assert rc == "timeout"
