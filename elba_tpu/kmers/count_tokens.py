@@ -329,13 +329,25 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
     assert token_cap < 2**31
     assert Rpad * (L // 32 + 1) < 2**31, "word index must fit int32"
 
+    # progress prints during prep: at giant rungs the single-threaded
+    # padding/word-packing plus the multi-GB device upload below run
+    # SILENTLY for tens of minutes, and the ladder orchestrator's stall
+    # watchdog kills a stage that prints nothing — keep it fed
+    if progress is not None:
+        progress("packing_words", reads=n, Rpad=Rpad, L=L)
     codesb = np.zeros((Rpad, L // 4), np.uint8)
     lengths = np.zeros(Rpad, np.int32)
     codesb[:n] = pack_code_rows(readset.padded_codes(L))
     lengths[:n] = readset.lengths
-    words_d = jnp.asarray(pack_code_words(codesb))
+    words_h = pack_code_words(codesb)
+    if progress is not None:
+        progress("uploading_words", bytes=int(words_h.nbytes))
+    words_d = jax.block_until_ready(jnp.asarray(words_h))
+    del words_h
     lengths_d = jnp.asarray(lengths)
     codes_u8_d = None  # lazily uploaded for the fallback path only
+    if progress is not None:
+        progress("words_resident", bytes=int(words_d.nbytes))
 
     import time as _time
     nk_off = nk_offset0
