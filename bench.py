@@ -140,6 +140,37 @@ def bench_xdrop(pairs=2048, batch=512, read_len=4096, overlap=2048,
     return pairs / best, info
 
 
+def bench_blocks_exact(pairs=128, read_len=4096, overlap=2048, err=0.03,
+                       k=17):
+    """On-chip exactness of the BLOCK-addressed driver
+    (align/xdrop_device_blocks.py, the 17.2 Gbp-cap replacement): a
+    small blk_bytes forces the fixture's reads across multiple packed
+    blocks, so the real-chip run exercises the (block, byte-in-block)
+    addressing, block-edge margins, and cross-round refetches — not
+    just the nblk=1 degenerate case.  Every pair is checked against the
+    integer oracle field-for-field."""
+    from elba_tpu.align.xdrop_device_blocks import BlockDeviceAligner
+    from elba_tpu.align.xdrop_ref import xdrop_align_ref
+
+    rs, qi, ti, bq, bt, q, t = make_xdrop_fixture(pairs, read_len, overlap,
+                                                  err, k)
+    # 2^16-byte blocks = 262k bases: ~30 read pairs per block here
+    al = BlockDeviceAligner(batch=pairs, blk_bytes=1 << 16)
+    t0 = time.time()
+    res = al(rs, qi, ti, bq, bt, k, 1, -1, -1, 15)
+    dt = time.time() - t0
+    nblk = int(al._dev["offBlk"].max()) + 1
+    exact = True
+    for i in range(pairs):
+        ref = xdrop_align_ref(q[i], t[i], int(bq[i]), int(bt[i]),
+                              k, 1, -1, -1, 15)
+        for f in ("score", "begQ", "endQ", "begT", "endT", "rc"):
+            if int(res[f][i]) != int(ref[f]):
+                exact = False
+    return exact, dict(pairs=pairs, blocks=nblk, exact=exact,
+                       seconds=round(dt, 3), **al.last_stats)
+
+
 def bench_spgemm():
     """SharedSeeds SpGEMM (B = A A^T) pure device time: one jitted program
     (chunked expand + sort-merge reduce, seedmat_device.py) over a
@@ -239,6 +270,12 @@ def main():
     extra = {}
     pairs_per_sec, info = bench_xdrop()
     extra["xdrop"] = info
+    try:
+        blocks_ok, binfo = bench_blocks_exact()
+        extra["blocks_exact"] = blocks_ok
+        extra["blocks"] = binfo
+    except Exception as e:  # never lose the headline metric
+        extra["blocks_error"] = str(e)
     try:
         spgemm_nnz_s, sinfo = bench_spgemm()
         extra["spgemm_nnz_per_sec"] = round(spgemm_nnz_s)
