@@ -64,6 +64,20 @@ def main():
         ("tr-u128", TrGeometry(unroll=128)),
         ("tr-u64-rb32", TrGeometry(unroll=64, refetch_batch=32)),
         ("tr-u64-rb64", TrGeometry(unroll=64, refetch_batch=64)),
+        # narrower bands/windows: every [wwin, 128] substep op shrinks
+        # proportionally; bandw=24 still covers the p99=18-lane band at
+        # x=15 (overflows escalate to WIDE), bandw=16 tests the edge
+        ("tr-w48-u64", TrGeometry(wwin=48, bandw=24, unroll=64)),
+        ("tr-w48-u96", TrGeometry(wwin=48, bandw=24, unroll=96)),
+        ("tr-w48-u128", TrGeometry(wwin=48, bandw=24, unroll=128)),
+        ("tr-w32-u64", TrGeometry(wwin=32, bandw=16, unroll=64)),
+        # smaller target register: the per-antidiagonal treg roll moves
+        # trr sublanes; cheaper roll vs more frequent refetches
+        ("tr-trr128-u64", TrGeometry(trr=128, unroll=64)),
+        ("tr-w48-trr128-u64", TrGeometry(wwin=48, bandw=24, trr=128,
+                                         unroll=64)),
+        ("tr-w48-trr96-u64", TrGeometry(wwin=48, bandw=24, trr=96,
+                                        unroll=64)),
     ]
     if args.only:
         names = set(args.only.split(","))
