@@ -167,8 +167,10 @@ def bench_blocks_exact(pairs=128, read_len=4096, overlap=2048, err=0.03,
         for f in ("score", "begQ", "endQ", "begT", "endT", "rc"):
             if int(res[f][i]) != int(ref[f]):
                 exact = False
-    return exact, dict(pairs=pairs, blocks=nblk, exact=exact,
-                       seconds=round(dt, 3), **al.last_stats)
+    info = dict(al.last_stats)
+    info.update(pairs=pairs, blocks=nblk, exact=exact,
+                seconds=round(dt, 3))
+    return exact, info
 
 
 def bench_spgemm():
