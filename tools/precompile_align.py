@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--read-len", type=int, default=8_000)
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--driver", choices=["geom", "blocks"], default="geom",
+                    help="which fused driver to warm: the uint32-offset "
+                         "geom driver or the block-addressed driver "
+                         "(align/xdrop_device_blocks.py)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +53,29 @@ def main():
     B = args.batch
     sds = jax.ShapeDtypeStruct
     i32 = lambda *shape: sds(shape, jnp.int32)
+
+    if args.driver == "blocks":
+        # mirror BlockDeviceAligner._upload: block count from the real
+        # placement over a uniform-length readset
+        import numpy as np
+        from elba_tpu.align import xdrop_device_blocks as db
+        nblk, _, _ = db.place_blocks(
+            np.full(n, args.read_len, np.int64), winpad, db.BLK_BYTES)
+        nblk = max(nblk, 1)
+        print(f"[precompile-align] blocks driver: nblk={nblk} reads={n} "
+              f"batch={B}", flush=True)
+        t0 = time.time()
+        with jax.enable_x64(False):
+            db._align_batch_fused_blocks.lower(
+                TR_NARROW, 2 * B, args.k,
+                sds((nblk, db.BLK_BYTES), jnp.uint8),
+                i32(n), i32(n), i32(n), i32(n),
+                i32(B), i32(B), i32(B), i32(B),
+                i32(), i32(), i32(), i32(), False).compile()
+        print(f"[precompile-align] fused TR_NARROW blocks program: "
+              f"{time.time() - t0:.0f}s", flush=True)
+        return
+
     print(f"[precompile-align] packed_len={packed_len} reads={n} "
           f"batch={B}", flush=True)
 
