@@ -422,10 +422,17 @@ class GeomDeviceAligner:
 
         ctrs = dict(antidiags=0, inner_iters=0, outer_trips=0)
 
+        import time as _time
+        t_p = _time.time()
         ovf1 = harvest(run_pass(self.primary, order))
+        t_p = _time.time() - t_p
         ovf2 = ovf1
+        t_f = 0.0
         if len(ovf1) and self.fallback is not None:
+            t_f = _time.time()
             ovf2 = harvest(run_pass(self.fallback, ovf1))
+            t_f = _time.time() - t_f
+        t_o = _time.time()
         # >fallback-band pairs (or runaways): numpy oracle, exact
         for i in ovf2:
             ref = xdrop_align_ref(
@@ -436,5 +443,9 @@ class GeomDeviceAligner:
                 out[f][i] = ref[f]
             out["rc"][i] = ref["rc"]
         self.last_stats = dict(pairs=n, overflow_narrow=len(ovf1),
-                               overflow_wide=len(ovf2), **ctrs)
+                               overflow_wide=len(ovf2),
+                               t_primary=round(t_p, 2),
+                               t_fallback=round(t_f, 2),
+                               t_oracle=round(_time.time() - t_o, 2),
+                               **ctrs)
         return out

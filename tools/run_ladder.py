@@ -393,6 +393,16 @@ def stage_align(args):
 
     readset = load_fasta(args.prefix + ".fa")
     on_tpu = jax.default_backend() != "cpu"
+    print(f"[stage align] backend={jax.default_backend()} pairs={n}",
+          flush=True)
+    if not on_tpu and not args.cpu and n > 1_000_000:
+        # a transient tunnel/device init failure silently falls back to
+        # the CPU kernel (~43 pairs/s — observed at the rice rung: 11
+        # DAYS for 42.5M pairs).  Fail loudly instead; the orchestrator
+        # retries and the next attempt re-probes the device.
+        raise RuntimeError(
+            f"align stage got backend=cpu for {n} pairs on a TPU rung; "
+            "refusing the silent CPU fallback")
     aligner = (get_device_aligner(batch=args.align_batch) if on_tpu
                else align_batch_jax)
 
@@ -411,7 +421,8 @@ def stage_align(args):
         np.savez(part, **{f: np.asarray(res[f]) for f in fields})
         print(f"[stage align] {hi}/{n} pairs "
               f"({(hi - lo) / max(time.time() - t0, 1e-9):.0f} pairs/s "
-              f"this run)", flush=True)
+              f"this run) {getattr(aligner, 'last_stats', {})}",
+              flush=True)
         t0 = time.time()
 
     # assemble parts into one R.npz
@@ -624,6 +635,12 @@ def orchestrate(args):
 
 
 def main():
+    # kill -USR1 <pid> dumps every thread's Python stack to stderr (the
+    # orchestrator tees it into the run log): the only way to see WHERE
+    # a silent stage is spinning — no py-spy/gdb in this container
+    import faulthandler
+    import signal as _signal
+    faulthandler.register(_signal.SIGUSR1, all_threads=True)
     args = parse_args()
     if args.stage:
         {"count": stage_count, "align": stage_align,
