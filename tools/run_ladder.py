@@ -377,8 +377,13 @@ def stage_align(args):
     """Checkpointed alignment of B's pairs with the device aligner."""
     jax = _jax_setup(args)
     from elba_tpu.dseq.dna import load_fasta
-    from elba_tpu.align.xdrop_device_geom import \
-            get_device_aligner_geom as get_device_aligner
+    # block-addressed driver: the uint32-byte-offset geom driver mis-
+    # addresses reads past byte offset 2^31 (8.6 Gbp) on chip — first
+    # crossed at the rice rung, where garbage windows sent ~half of all
+    # pairs through band-overflow escalation into the host oracle
+    # (~100x the align wall).  Block addressing keeps every index int32.
+    from elba_tpu.align.xdrop_device_blocks import \
+            get_device_aligner_blocks as get_device_aligner
     from elba_tpu.align.xdrop_jax import align_batch_jax
 
     params = _params(args)
