@@ -79,10 +79,12 @@ def make_xdrop_fixture(pairs=2048, read_len=4096, overlap=2048, err=0.03,
 
 
 def get_bench_aligner(batch):
-    """Aligner under test: the narrow-band geometry driver by default;
-    ELBA_BENCH_ALIGNER=v3 selects the previous wide-band driver for
-    comparison sweeps."""
-    kind = os.environ.get("ELBA_BENCH_ALIGNER", "geom")
+    """Aligner under test: the production block-addressed driver by
+    default (what the ladder's align stage runs since the rice rung
+    exposed the geom driver's 2^31-byte addressing cap);
+    ELBA_BENCH_ALIGNER selects earlier generations for comparison
+    sweeps."""
+    kind = os.environ.get("ELBA_BENCH_ALIGNER", "blocks")
     if kind == "v3":
         from elba_tpu.align.xdrop_device import get_device_aligner
         return get_device_aligner(batch=batch), kind
@@ -90,8 +92,11 @@ def get_bench_aligner(batch):
         from elba_tpu.align.xdrop_device_geom import GeomDeviceAligner
         from elba_tpu.align.xdrop_geom import NARROW
         return GeomDeviceAligner(batch=batch, primary=NARROW), kind
-    from elba_tpu.align.xdrop_device_geom import get_device_aligner_geom
-    return get_device_aligner_geom(batch=batch), kind
+    if kind == "geom":
+        from elba_tpu.align.xdrop_device_geom import get_device_aligner_geom
+        return get_device_aligner_geom(batch=batch), kind
+    from elba_tpu.align.xdrop_device_blocks import get_device_aligner_blocks
+    return get_device_aligner_blocks(batch=batch), kind
 
 
 def bench_xdrop(pairs=2048, batch=512, read_len=4096, overlap=2048,

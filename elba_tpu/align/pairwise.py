@@ -67,9 +67,11 @@ def pairwise_alignment(readset: ReadSet, B: SeedMatrix, k: int,
         else:
             # device-resident single-dispatch driver at the transposed
             # narrow geometry (uploads the read set once; band-overflow
-            # escalation to the WIDE kernel and then the oracle)
-            from .xdrop_device_geom import get_device_aligner_geom
-            aligner = get_device_aligner_geom()
+            # escalation to the WIDE kernel and then the oracle).  The
+            # block-addressed generation is production: identical
+            # semantics, no 2^31-byte resident read cap.
+            from .xdrop_device_blocks import get_device_aligner_blocks
+            aligner = get_device_aligner_blocks()
 
     res = aligner(readset, qi, ti, seedQ, seedT, k, mat, mis, gap, dropoff)
 

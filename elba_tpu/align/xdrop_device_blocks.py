@@ -380,12 +380,16 @@ def _align_batch_fused_blocks(g: Geometry, nitems: int, k: int, codes2d,
 _SINGLETON = None
 
 
-def get_device_aligner_blocks(batch: int = 512):
+def get_device_aligner_blocks(batch: int = 512, interpret: bool = False,
+                              blk_bytes: int = BLK_BYTES):
     """Process-wide BlockDeviceAligner (one uploaded read set + one
     compiled program per kernel geometry per batch shape)."""
     global _SINGLETON
-    if _SINGLETON is None or _SINGLETON.batch != batch:
-        _SINGLETON = BlockDeviceAligner(batch=batch)
+    if (_SINGLETON is None or _SINGLETON.batch != batch
+            or _SINGLETON.interpret != interpret
+            or _SINGLETON.blk_bytes != blk_bytes):
+        _SINGLETON = BlockDeviceAligner(batch=batch, interpret=interpret,
+                                        blk_bytes=blk_bytes)
     return _SINGLETON
 
 
@@ -407,13 +411,29 @@ class BlockDeviceAligner:
         self.last_stats = {}
 
     def _upload(self, readset):
-        key = (id(readset), len(readset))
+        # stable content identity: id() alone can be recycled after a
+        # same-length readset is garbage-collected at the same address
+        key = (id(readset), readset.start_id, len(readset),
+               int(readset.offsets[-1]) if len(readset) else 0,
+               readset.codes.nbytes)
         if self._key == key:
             return
         winpad = max(g.qw + g.tw
                      for g in (self.primary, self.fallback) if g is not None)
+        # bucket the block size: small readsets (tests, sub-Gbp runs)
+        # get a power-of-two block just big enough instead of a fixed
+        # 256 MiB block; large readsets use self.blk_bytes.  Power-of-
+        # two bucketing bounds the number of distinct compile shapes.
+        margin = winpad + 8
+        margin += (-margin) % 4
+        need = int(readset.lengths.sum()) // 4 + 2 * margin + \
+            int(readset.lengths.max(initial=0)) // 4 + 8
+        eff = 1 << 12
+        while eff < need and eff < self.blk_bytes:
+            eff <<= 1
+        eff = min(eff, self.blk_bytes)
         packed, offK, offB, offR = pack_readset_blocks(
-            readset, winpad, self.blk_bytes)
+            readset, winpad, eff)
         self._dev = dict(
             codes2d=jax.device_put(packed),
             offBlk=jax.device_put(offK),

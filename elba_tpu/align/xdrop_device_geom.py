@@ -309,7 +309,10 @@ class GeomDeviceAligner:
         self.last_stats = {}
 
     def _upload(self, readset):
-        key = (id(readset), len(readset))
+        # stable content identity (see BlockDeviceAligner._upload)
+        key = (id(readset), readset.start_id, len(readset),
+               int(readset.offsets[-1]) if len(readset) else 0,
+               readset.codes.nbytes)
         if self._key == key:
             return
         codes = readset.codes
@@ -322,8 +325,15 @@ class GeomDeviceAligner:
                                 np.zeros(tail, np.uint8)])
         from ..dseq.dna import pack_2bit
         packed = np.concatenate([pack_2bit(codes), np.zeros(1, np.uint8)])
-        assert packed.size < 2 ** 32, \
-            "packed code array must fit uint32 indexing (~17.2 Gbp)"
+        # uint32 offsets notionally reach 2^32 bytes, but on real TPU the
+        # gather/dynamic-slice index path truncates to int32: reads past
+        # byte offset 2^31 (8.6 Gbp) are silently mis-addressed (observed
+        # at the rice-30X rung: garbage windows sent ~half of all pairs
+        # into band-overflow escalation).  Use xdrop_device_blocks for
+        # larger read sets.
+        assert packed.size < 2 ** 31, \
+            "packed code array must fit int32 byte indexing (~8.6 Gbp); " \
+            "use align.xdrop_device_blocks.BlockDeviceAligner beyond that"
         off = readset.offsets.astype(np.int64) + winpad
         self._dev = dict(
             codes=jax.device_put(packed),

@@ -81,6 +81,45 @@ def _sort_instances(canon, valid, read_ids):
     return km[order], rid[order], pos[order], len(km)
 
 
+def _bloom_repeat_mask(keys: np.ndarray, chunk: int = 1 << 22,
+                       error: float = 0.02) -> np.ndarray:
+    """Boolean mask of instances whose key value occurs >= 2 times.
+
+    The reference's Bloom pass (src/KmerOps.cpp pass 1 via
+    include/Bloom.hpp): first occurrence of a value arms the filter,
+    a re-occurrence promotes the value to the exact counting structure.
+    Here pass 1 builds a `repeat` Bloom of values seen at least twice
+    (cross-chunk via check-then-add, in-chunk via a per-chunk unique);
+    pass 2 keeps every instance of a (possibly-)repeated value.  False
+    positives only let singleton values through to the exact counting
+    sort, where `counts >= lower` drops them — the output is
+    bit-identical to the unfiltered path for lower >= 2.
+    """
+    from ..sketch.bloom import BloomFilter
+
+    n = len(keys)
+    seen = BloomFilter(n, error)
+    repeat = BloomFilter(max(n // 4, 1024), error)
+    for lo in range(0, n, chunk):
+        h = keys[lo:lo + chunk]
+        hit = seen.check(h)
+        seen.add(h)
+        uniq, inv, cnt = np.unique(h, return_inverse=True,
+                                   return_counts=True)
+        dup = (cnt > 1)[inv]
+        rep = h[hit | dup]
+        if len(rep):
+            repeat.add(rep)
+    keep = np.empty(n, bool)
+    for lo in range(0, n, chunk):
+        keep[lo:lo + chunk] = repeat.check(keys[lo:lo + chunk])
+    return keep
+
+
+# instances below this size sort fast enough that the Bloom pass is noise
+_BLOOM_MIN_INSTANCES = 1 << 22
+
+
 def count_reliable_kmers(codes, lengths, read_ids, k: int,
                          lower: int, upper: int) -> KmerMatrix:
     """Single-shard exact counting; returns the A matrix COO.
@@ -105,7 +144,8 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
         return KmerMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
                           np.zeros(0, np.int32), np.zeros(0, np.uint64),
                           int(codes.shape[0]), 0)
-    kmw, rid, pos, nvalid = _sort_instances_words(words, valid, read_ids)
+    kmw, rid, pos, nvalid = _sort_instances_words(words, valid, read_ids,
+                                                  prefilter=lower >= 2)
 
     boundaries = np.empty(nvalid, dtype=bool)
     if nvalid:
@@ -138,18 +178,36 @@ def count_reliable_kmers(codes, lengths, read_ids, k: int,
     )
 
 
-def _sort_instances_words(words, valid, read_ids):
+def _sort_instances_words(words, valid, read_ids, prefilter=False):
     """Multi-word variant: sort by (word0, word1, ..., read, pos).
 
     np.lexsort is stable and the row-major flattening is ascending in
     (read, pos), so sorting by the word tuple alone yields the full
-    canonical instance order."""
+    canonical instance order.
+
+    prefilter=True runs the Bloom repeat pass first (reference KmerOps
+    pass 1) so the expensive multi-key lexsort only sees instances of
+    (possibly-)repeated values — a large cut at high error rates where
+    singleton error k-mers dominate.  Exactness is unaffected: the
+    run-length `counts >= lower` filter downstream drops the Bloom's
+    false-positive singletons, and every instance of a true repeat is
+    kept (membership is by value).  Only valid for lower >= 2."""
+    from ..sketch.hll import _mix64
+
     valid = np.asarray(valid)
     read_ids = np.asarray(read_ids)
     rid_f, pos_f = np.nonzero(valid)
     flat = [np.asarray(w)[rid_f, pos_f] for w in words]
     rid = read_ids[rid_f]
     pos = pos_f.astype(np.int32)
+    if prefilter and len(flat[0]) > _BLOOM_MIN_INSTANCES:
+        key = flat[0].astype(np.uint64)
+        for w in flat[1:]:  # fold multi-word values into one 64-bit key
+            key = _mix64(key) ^ w.astype(np.uint64)
+        keep = _bloom_repeat_mask(key)
+        flat = [w[keep] for w in flat]
+        rid = rid[keep]
+        pos = pos[keep]
     order = np.lexsort(tuple(reversed(flat)))
     return ([w[order] for w in flat], rid[order], pos[order], len(flat[0]))
 

@@ -144,17 +144,34 @@ def _rev2_u64(x):
     return x
 
 
+def _combine_u64(hi32, lo32):
+    """(hi, lo) uint32 -> uint64.  The resident word array is stored as
+    TWO uint32 arrays instead of one uint64: under x64 emulation a
+    uint64 array argument lowers through an X64SplitHigh custom-call
+    whose whole-array u32 temporaries (plus a tiled relayout copy) cost
+    ~3.4x the array's size in HLO temp HBM — 13.3 GB at the human-10X
+    rung's 7.97 GB word array, found by AOT precompile (OOM at compile
+    time).  Native u32 arrays gather/slice in place; only the combined
+    VALUES (chunk- or token-sized) are u64."""
+    return ((hi32.astype(jnp.uint64) << jnp.uint64(32))
+            | lo32.astype(jnp.uint64))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "read_chunk", "cap_tok", "group"))
-def _fill_tokens(words, lengths, bvec, k: int, read_chunk: int,
+def _fill_tokens(wlo, whi, lengths, bvec, k: int, read_chunk: int,
                  cap_tok: int, group: int):
     """One sweep over the reads, harvesting `group` value ranges as slot
     tokens.
 
-    words:   uint64[R, Wpr + 1] resident word-packed reads
-             (pack_code_words), R a multiple of read_chunk
-    lengths: int32[R]
+    wlo/whi: uint32[R * (Wpr + 1)] resident word-packed reads — FLAT
+             low/high halves of pack_code_words' uint64 words (see
+             _combine_u64).  Flat 1-D keeps the linear T(1024) layout:
+             a 2-D [R, Wpr+1] array gets the (8,128) tile layout, and
+             phase B's flat gather then pays a whole-array de-tiling
+             copy (~6 GB at human scale, found by AOT precompile).
+    lengths: int32[R], R a multiple of read_chunk
     bvec:    uint64[group + 1] ascending boundaries (final = SENTK
              terminator; padded tail ranges [SENTK, SENTK) are empty)
 
@@ -165,7 +182,8 @@ def _fill_tokens(words, lengths, bvec, k: int, read_chunk: int,
              each run in ascending slot (= (rid, pos)) order
       ovf    bool
     """
-    R, Wpr1 = words.shape
+    R = lengths.shape[0]
+    Wpr1 = wlo.shape[0] // R
     L = 32 * (Wpr1 - 1)
     W = L - k + 1
     Rc = read_chunk
@@ -180,7 +198,11 @@ def _fill_tokens(words, lengths, bvec, k: int, read_chunk: int,
     def body(c, carry):
         f, counts, buf, ovf = carry
         rows0 = c * Rc
-        wc = jax.lax.dynamic_slice(words, (rows0, 0), (Rc, Wpr1))
+        wc = _combine_u64(
+            jax.lax.dynamic_slice(whi, (rows0 * Wpr1,),
+                                  (Rc * Wpr1,)).reshape(Rc, Wpr1),
+            jax.lax.dynamic_slice(wlo, (rows0 * Wpr1,),
+                                  (Rc * Wpr1,)).reshape(Rc, Wpr1))
         lens_c = jax.lax.dynamic_slice(lengths, (rows0,), (Rc,))
         canon, valid = _extract_canonical_words(wc[:, :-1], lens_c, k)
         rangeid = jnp.full(canon.shape, -1, jnp.int32)
@@ -209,13 +231,15 @@ def _fill_tokens(words, lengths, bvec, k: int, read_chunk: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "read_chunk", "cap", "lower", "upper"))
-def _part_from_tokens(words, tokbuf, src_starts, run_lens, nk_offset,
+    static_argnames=("k", "read_chunk", "cap", "lower", "upper", "wpr1"))
+def _part_from_tokens(wlo, whi, tokbuf, src_starts, run_lens, nk_offset,
                       k: int, read_chunk: int, cap: int,
-                      lower: int, upper: int):
+                      lower: int, upper: int, wpr1: int = 0):
     """Build one part from its token runs and run the counting tail.
 
-    words:      uint64[R, Wpr + 1] resident word-packed reads
+    wlo/whi:    uint32[R * wpr1] FLAT resident word-packed reads
+                (low/high halves, see _combine_u64 and _fill_tokens's
+                layout note); wpr1 = words per read incl. the pad column
     tokbuf:     int32[cap_tok] token buffer from _fill_tokens
     src_starts: int32[C] start of this part's run in tokbuf, per chunk
     run_lens:   int32[C] run lengths (counts[:, g])
@@ -224,7 +248,8 @@ def _part_from_tokens(words, tokbuf, src_starts, run_lens, nk_offset,
     The caller guarantees sum(run_lens) <= cap (known exactly from the
     count matrix before dispatch — no in-program overflow path).
     """
-    R, Wpr1 = words.shape
+    Wpr1 = wpr1
+    R = wlo.shape[0] // Wpr1
     L = 32 * (Wpr1 - 1)
     W = L - k + 1
     Rc = read_chunk
@@ -260,9 +285,10 @@ def _part_from_tokens(words, tokbuf, src_starts, run_lens, nk_offset,
     # complement's low 2k bits — identical to extract_canonical_kmers.
     q0 = pos >> 5
     flat = jnp.clip(rid * Wpr1 + q0, 0, R * Wpr1 - 2)
-    wflat = words.reshape(-1)
-    w0 = jnp.take(wflat, flat, mode="clip")
-    w1 = jnp.take(wflat, flat + 1, mode="clip")
+    w0 = _combine_u64(jnp.take(whi, flat, mode="clip"),
+                      jnp.take(wlo, flat, mode="clip"))
+    w1 = _combine_u64(jnp.take(whi, flat + 1, mode="clip"),
+                      jnp.take(wlo, flat + 1, mode="clip"))
     sh = (2 * (pos & 31)).astype(jnp.uint64)
     v = (w0 << sh) | jnp.where(sh > jnp.uint64(0),
                                w1 >> (jnp.uint64(64) - sh), jnp.uint64(0))
@@ -340,14 +366,25 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
     codesb[:n] = pack_code_rows(readset.padded_codes(L))
     lengths[:n] = readset.lengths
     words_h = pack_code_words(codesb)
-    if progress is not None:
-        progress("uploading_words", bytes=int(words_h.nbytes))
-    words_d = jax.block_until_ready(jnp.asarray(words_h))
+    # split into FLAT u32 halves host-side: u64 device arrays pay a
+    # ~3.4x whole-array HLO-temp cost under x64 emulation, and 2-D u32
+    # arrays pay a whole-array de-tiling copy at the phase-B gather
+    # (see _combine_u64 / _fill_tokens docstrings)
+    wpr1 = words_h.shape[1]
+    wlo_h = (words_h & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(-1)
+    whi_h = (words_h >> np.uint64(32)).astype(np.uint32).reshape(-1)
     del words_h
+    if progress is not None:
+        progress("uploading_words",
+                 bytes=int(wlo_h.nbytes + whi_h.nbytes))
+    wlo_d = jax.block_until_ready(jnp.asarray(wlo_h))
+    whi_d = jax.block_until_ready(jnp.asarray(whi_h))
+    del wlo_h, whi_h
     lengths_d = jnp.asarray(lengths)
     codes_u8_d = None  # lazily uploaded for the fallback path only
     if progress is not None:
-        progress("words_resident", bytes=int(words_d.nbytes))
+        progress("words_resident",
+                 bytes=int(wlo_d.nbytes + whi_d.nbytes))
 
     import time as _time
     nk_off = nk_offset0
@@ -364,7 +401,7 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
         if g0 + gn == parts:
             bvec[gn:] = np.uint64((1 << 64) - 1)
         fill, counts, tokbuf, ovf = _fill_tokens(
-            words_d, lengths_d, jnp.asarray(bvec), k,
+            wlo_d, whi_d, lengths_d, jnp.asarray(bvec), k,
             read_chunk=rc, cap_tok=token_cap, group=group)
         counts_h = np.asarray(counts).astype(np.int64)
         ovf_h = bool(ovf)
@@ -399,11 +436,11 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
                 src = (block_start + within_excl[:, i]).astype(np.int32)
                 lens_i = counts_h[:, i].astype(np.int32)
                 res = _part_from_tokens(
-                    words_d, tokbuf, jnp.asarray(src),
+                    wlo_d, whi_d, tokbuf, jnp.asarray(src),
                     jnp.asarray(lens_i), jnp.int32(nk_off),
                     k, read_chunk=rc,
                     cap=min(_bucket(part_tot[i]), cap),
-                    lower=lower, upper=upper)
+                    lower=lower, upper=upper, wpr1=wpr1)
             nk_off += int(res["nk"])
             yield res
         del tokbuf

@@ -100,7 +100,7 @@ def _align_candidates_pallas(readset: ReadSet, params: PipelineParams,
     """Align the SPMD step's candidate list with the fused Pallas x-drop
     kernel (per-shard embarrassing parallelism; on one chip this is the
     whole list) and scatter the results into the device-resident arrays."""
-    from ..align.xdrop_device_geom import get_device_aligner_geom
+    from ..align.xdrop_device_blocks import get_device_aligner_blocks
 
     sel = np.flatnonzero(np.asarray(local["valid"]).reshape(-1))
     if len(sel) == 0:
@@ -109,7 +109,7 @@ def _align_candidates_pallas(readset: ReadSet, params: PipelineParams,
     t = np.asarray(local["t"]).reshape(-1)[sel]
     sq = np.asarray(local["seedQ"]).reshape(-1)[sel]
     st = np.asarray(local["seedT"]).reshape(-1)[sel]
-    aligner = get_device_aligner_geom()
+    aligner = get_device_aligner_blocks()
     aligner.interpret = jax.default_backend() != "tpu"
     res = aligner(readset, q, t, sq, st, params.k, params.mat,
                   params.mis, params.gap, params.xdrop)

@@ -20,6 +20,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries.
+
+    A full-suite run accumulates hundreds of XLA CPU executables; by
+    ~test 170/189 the CPU client segfaulted inside backend_compile_and
+    _load (observed twice, round 4 — the same test passes in isolation).
+    Dropping caches between modules bounds resident compile state; the
+    within-module cache (where shapes actually repeat) is untouched.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xE1BA)

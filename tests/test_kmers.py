@@ -252,3 +252,31 @@ def test_device_counting_matches_numpy(rng):
         assert np.array_equal(m_dev.rows, m_np.rows), k
         assert np.array_equal(m_dev.cols, m_np.cols), k
         assert np.array_equal(m_dev.pos, m_np.pos), k
+
+
+def test_bloom_prefilter_bit_identical(rng, monkeypatch):
+    """The Bloom repeat prefilter (count._bloom_repeat_mask, the
+    reference's KmerOps pass-1 Bloom role) must not change the counted
+    output by a single bit, for both one-word and multi-word k."""
+    import elba_tpu.kmers.count as cnt
+    from elba_tpu.dseq.dna import codes_to_ascii
+
+    reads = []
+    genome = rng.integers(0, 4, 3000, dtype=np.uint8)
+    for s in range(0, 2500, 100):
+        seg = genome[s:s + 500].copy()
+        m = rng.random(500) < 0.05  # errors make singleton k-mers
+        seg[m] = (seg[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        reads.append(codes_to_ascii(seg))
+    rs = ReadSet.from_sequences(reads)
+
+    for k in (31, 41):
+        base = build_kmer_matrix(rs, k, 2, 50, native=False)
+        monkeypatch.setattr(cnt, "_BLOOM_MIN_INSTANCES", 0)
+        filt = build_kmer_matrix(rs, k, 2, 50, native=False)
+        monkeypatch.undo()
+        assert np.array_equal(base.rows, filt.rows)
+        assert np.array_equal(base.cols, filt.cols)
+        assert np.array_equal(base.pos, filt.pos)
+        assert np.array_equal(base.kmers, filt.kmers)
+        assert base.num_kmers == filt.num_kmers

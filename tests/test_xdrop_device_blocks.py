@@ -8,6 +8,8 @@ production BLK_BYTES=2^28 path differs only in the block size constant.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from elba_tpu.align.xdrop_device_blocks import (
     BlockDeviceAligner, pack_readset_blocks, place_blocks)
 from elba_tpu.align.xdrop_ref import xdrop_align_ref

@@ -5,6 +5,8 @@ narrow -> wide -> oracle escalation ladder, for BOTH kernel families
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from elba_tpu.align.xdrop_device_geom import GeomDeviceAligner
 from elba_tpu.align.xdrop_ref import xdrop_align_ref
 from elba_tpu.align.xdrop_tr import TR

@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--read-len", type=int, default=8_000)
     ap.add_argument("--k", type=int, default=31)
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--driver", choices=["geom", "blocks"], default="geom",
+    ap.add_argument("--driver", choices=["geom", "blocks"], default="blocks",
                     help="which fused driver to warm: the uint32-offset "
                          "geom driver or the block-addressed driver "
                          "(align/xdrop_device_blocks.py)")

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--upper", type=int, default=35)
     ap.add_argument("--token-budget", type=int, default=2_500_000_000)
     ap.add_argument("--stage-chunks", type=int, default=4)
+    ap.add_argument("--count-budget", type=int, default=58_000_000,
+                    help="per-part instance budget (mirror run_ladder "
+                         "--count-budget)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,7 @@ def main():
     total = n * (read_len - (k - 1))
 
     # --- run_ladder.stage_count sizing (auto multi-pass path) ---
-    budget = 58_000_000
+    budget = args.count_budget
     cap = -(-(budget * 105 // 100 + 34_000_000) // 1024) * 1024
     parts = max(2, -(-total // budget))
     total_bases = n * read_len
@@ -101,7 +104,9 @@ def main():
           f"b_cap={b_cap}", flush=True)
 
     sds = jax.ShapeDtypeStruct
-    words = sds((Rpad, L // 32 + 1), jnp.uint64)
+    # resident words: FLAT u32 halves (count_tokens._combine_u64)
+    wpr1 = L // 32 + 1
+    w32 = sds((Rpad * wpr1,), jnp.uint32)
     lengths = sds((Rpad,), jnp.int32)
     bvec = sds((group + 1,), jnp.uint64)
     i32 = lambda *shape: sds(shape, jnp.int32)
@@ -113,12 +118,13 @@ def main():
               flush=True)
 
     compile_("_fill_tokens", ct._fill_tokens.lower(
-        words, lengths, bvec, k=k, read_chunk=rc, cap_tok=token_cap,
+        w32, w32, lengths, bvec, k=k, read_chunk=rc, cap_tok=token_cap,
         group=group))
 
     compile_("_part_from_tokens", ct._part_from_tokens.lower(
-        words, sds((token_cap,), jnp.int32), i32(C), i32(C), i32(),
-        k=k, read_chunk=rc, cap=part_cap, lower=lower, upper=upper))
+        w32, w32, sds((token_cap,), jnp.int32), i32(C), i32(C), i32(),
+        k=k, read_chunk=rc, cap=part_cap, lower=lower, upper=upper,
+        wpr1=wpr1))
 
     # --- spgemm_from_count_parts shapes (first part fixes CI geometry) ---
     span = upper - 1

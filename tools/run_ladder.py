@@ -90,6 +90,13 @@ def parse_args(argv=None):
     ap.add_argument("--token-budget", type=int, default=2_500_000_000,
                     help="token-sweep mode: HBM bytes for the token "
                          "buffer (sizes ranges-per-sweep)")
+    ap.add_argument("--count-budget", type=int, default=58_000_000,
+                    help="per-part instance budget for auto-sized "
+                         "multi-pass counting; the part buffer cap is "
+                         "1.05*budget + 34M slots.  Shrink below the "
+                         "58M default when the resident read words eat "
+                         "the HBM the part buffers need (human-10X: "
+                         "words alone are 7.75 GB of 16)")
     return ap.parse_args(argv)
 
 
@@ -184,7 +191,7 @@ def stage_count(args):
         # compilation cache instead of paying ~10 min of fresh remote
         # compiles each.  (Compile-helper bound: sorts past ~130M slots
         # OOM the remote compile host — 95M is well inside.)
-        budget = 58_000_000
+        budget = args.count_budget
         cap_target = -(-(budget * 105 // 100 + 34_000_000) // 1024) * 1024
         parts = max(2, -(-total_inst // budget))
         count_cap = cap_target
@@ -664,8 +671,10 @@ def main():
 
     aligner = None
     if not args.cpu and jax.default_backend() != "cpu":
-        from elba_tpu.align.xdrop_device_geom import \
-            get_device_aligner_geom as get_device_aligner
+        # block-addressed production driver (no 2^31-byte resident cap;
+        # same escalation ladder and exactness as the geom driver)
+        from elba_tpu.align.xdrop_device_blocks import \
+            get_device_aligner_blocks as get_device_aligner
         aligner = get_device_aligner(batch=args.align_batch)
 
     t0 = time.time()
