@@ -11,15 +11,20 @@ import numpy as np
 from elba_tpu.align.xdrop_device_blocks import BlockDeviceAligner
 from elba_tpu.align.xdrop_device_geom import GeomDeviceAligner
 from elba_tpu.align.xdrop_ref import xdrop_align_ref
+from elba_tpu.align.xdrop_tr import TR
 from tests.conftest import mutate, random_dna
 from tests.test_xdrop import find_shared_seed
 from tests.test_xdrop_device import make_readset
+
+# unroll-16 TR compiles in seconds on XLA CPU; the production TR_NARROW
+# (unroll 64) takes ~10 min to compile in interpret mode and is covered
+# by the slow suites + the on-chip bench exactness check
 
 K = 17
 FIELDS = ("score", "begQ", "endQ", "begT", "endT", "rc")
 
 
-def _cases(rng, n=2, length=400):
+def _cases(rng, n=1, length=256):
     cases = []
     while len(cases) < n:
         q = random_dna(rng, length)
@@ -50,7 +55,7 @@ def _check(al, rng, length=400):
 
 
 def test_geom_driver_smoke(rng):
-    _check(GeomDeviceAligner(batch=4, interpret=True), rng)
+    _check(GeomDeviceAligner(batch=4, interpret=True, primary=TR), rng)
 
 
 def test_blocks_driver_smoke(rng):
@@ -58,5 +63,6 @@ def test_blocks_driver_smoke(rng):
     # margins (usable ~5.9 kb at blk_bytes 2^12) exercises the 2-D
     # block addressing path; multi-block placement is covered by the
     # slow suite (test_xdrop_device_blocks.py)
-    _check(BlockDeviceAligner(batch=4, interpret=True, blk_bytes=1 << 12),
+    _check(BlockDeviceAligner(batch=4, interpret=True, blk_bytes=1 << 12,
+                              primary=TR),
            rng)
