@@ -73,7 +73,8 @@ def canonical_ref(seq_codes: np.ndarray, k: int) -> np.ndarray:
 def extract_canonical_kmers2(codes: jnp.ndarray, lengths: jnp.ndarray,
                              k: int):
     """Two-word canonical k-mers for 32 < k <= 64 (reference supports
-    KMER_SIZE < 96 via Kmer<2,3>, Kmer.hpp:95-97; 65..95 tracked as TODO).
+    KMER_SIZE < 96 via Kmer<2,3>, Kmer.hpp:95-97; 65..95 on device is
+    extract_canonical_kmers3 below).
 
     hi packs bases[0:32] MSB-first; lo packs bases[32:k] MSB-first into the
     high bits of the remaining word, so (hi, lo) numeric order equals
@@ -112,6 +113,40 @@ def extract_canonical_kmers2(codes: jnp.ndarray, lengths: jnp.ndarray,
     pos = jnp.arange(W, dtype=lengths.dtype)[None, :]
     valid = pos <= (lengths[:, None] - k)
     return chi, clo, valid
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_canonical_kmers3(codes: jnp.ndarray, lengths: jnp.ndarray,
+                             k: int):
+    """Three-word canonical k-mers for 64 < k < 96 on device — the
+    reference's Kmer<3> range (Kmer.hpp:95-97).  Same packing discipline
+    as extract_canonical_kmers2: word w packs bases[32w:32w+32] MSB-first
+    (the final word's tail bases sit in its high bits), so the word
+    tuple's numeric order equals lexicographic base order.
+
+    Returns (canon_w0, canon_w1, canon_w2, valid) with shapes [R, W].
+    """
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        z = jnp.zeros((R, 0), jnp.uint64)
+        return z, z, z, jnp.zeros((R, 0), bool)
+    c64 = codes.astype(jnp.uint64)
+    f = [jnp.zeros((R, W), jnp.uint64) for _ in range(3)]
+    r = [jnp.zeros((R, W), jnp.uint64) for _ in range(3)]
+    for j in range(k):
+        col = c64[:, j:j + W]
+        comp = jnp.uint64(3) - col
+        f[j >> 5] = f[j >> 5] | (col << jnp.uint64(2 * (31 - (j & 31))))
+        ti = k - 1 - j
+        r[ti >> 5] = r[ti >> 5] | (comp << jnp.uint64(2 * (31 - (ti & 31))))
+    twin_less = (r[0] < f[0]) | \
+        ((r[0] == f[0]) & ((r[1] < f[1]) |
+                           ((r[1] == f[1]) & (r[2] < f[2]))))
+    canon = [jnp.where(twin_less, rw, fw) for rw, fw in zip(r, f)]
+    pos = jnp.arange(W, dtype=lengths.dtype)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    return canon[0], canon[1], canon[2], valid
 
 
 def canonical_ref2(seq_codes: np.ndarray, k: int):

@@ -280,3 +280,21 @@ def test_bloom_prefilter_bit_identical(rng, monkeypatch):
         assert np.array_equal(base.pos, filt.pos)
         assert np.array_equal(base.kmers, filt.kmers)
         assert base.num_kmers == filt.num_kmers
+
+
+def test_three_word_extraction_matches_host_oracle(rng):
+    """Device Kmer<3> extraction (64 < k < 96) vs the host generic
+    multi-word extractor (itself oracle-verified above)."""
+    from elba_tpu.kmers.extract import (extract_canonical_kmers3,
+                                        extract_canonical_words_np)
+
+    for k in (65, 80, 95):
+        codes = rng.integers(0, 4, size=(3, 140), dtype=np.uint8)
+        lengths = np.array([140, 100, k - 1], np.int32)
+        w0, w1, w2, valid = extract_canonical_kmers3(
+            jnp.asarray(codes), jnp.asarray(lengths), k)
+        ref_words, ref_valid = extract_canonical_words_np(codes, lengths, k)
+        assert np.array_equal(np.asarray(valid), ref_valid)
+        for got, ref in zip((w0, w1, w2), ref_words):
+            assert np.array_equal(np.asarray(got)[ref_valid],
+                                  ref[ref_valid]), k
