@@ -159,11 +159,20 @@ def _combine_u64(hi32, lo32):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "read_chunk", "cap_tok", "group"))
-def _fill_tokens(wlo, whi, lengths, bvec, k: int, read_chunk: int,
-                 cap_tok: int, group: int):
-    """One sweep over the reads, harvesting `group` value ranges as slot
-    tokens.
+    static_argnames=("k", "read_chunk", "cap_tok", "group", "nc"),
+    donate_argnames=("tokbuf",))
+def _fill_tokens_range(wlo, whi, lengths, bvec, tokbuf, f, counts, ovf,
+                       c0, k: int, read_chunk: int, cap_tok: int,
+                       group: int, nc: int):
+    """Chunks [c0, c0+nc) of one token sweep (see _fill_tokens_sweep).
+
+    The whole-sweep single dispatch ran ~104 s at human-10X scale and
+    reproducibly CRASHED the tunnel's TPU worker (two attempts, same
+    point, 2026-08-20); bounded-range dispatches keep each device
+    program ~10-15 s, donate the token buffer (no in/out double
+    buffering of the multi-GB carry), and give the stall watchdog
+    mid-sweep progress.  Chunk iteration order is identical, so the
+    sweep output is bit-identical to the single-dispatch form.
 
     wlo/whi: uint32[R * (Wpr + 1)] resident word-packed reads — FLAT
              low/high halves of pack_code_words' uint64 words (see
@@ -174,9 +183,11 @@ def _fill_tokens(wlo, whi, lengths, bvec, k: int, read_chunk: int,
     lengths: int32[R], R a multiple of read_chunk
     bvec:    uint64[group + 1] ascending boundaries (final = SENTK
              terminator; padded tail ranges [SENTK, SENTK) are empty)
+    tokbuf/f/counts/ovf: sweep carry from the previous range dispatch
+             (zeros / empty at c0 = 0); tokbuf is donated.
 
-    Returns (fill, counts, tokbuf, ovf):
-      fill   int32 total live tokens appended
+    Returns the advanced carry (fill, counts, tokbuf, ovf):
+      fill   int32 total live tokens appended so far
       counts int32[C, group] live windows per (read chunk, range)
       tokbuf int32[cap_tok]: per chunk, ranges 0..group-1 back to back,
              each run in ascending slot (= (rid, pos)) order
@@ -222,11 +233,41 @@ def _fill_tokens(wlo, whi, lengths, bvec, k: int, read_chunk: int,
         buf = jax.lax.dynamic_update_slice(buf, packed & SLOT_MASK, (fw,))
         return f + live, counts, buf, ovf
 
-    init = (jnp.int32(0),
-            jnp.zeros((C, G), jnp.int32),
-            jnp.zeros((cap_tok,), jnp.int32),
-            jnp.bool_(False))
-    return jax.lax.fori_loop(0, C, body, init)
+    init = (f.astype(jnp.int32), counts, tokbuf, ovf)
+    return jax.lax.fori_loop(c0, c0 + nc, body, init)
+
+
+FILL_CHUNK_BATCH = 128
+
+
+def _fill_tokens_sweep(wlo, whi, lengths, bvec, k: int, read_chunk: int,
+                       cap_tok: int, group: int,
+                       chunk_batch: int = 0, progress=None):
+    """One full token sweep as a sequence of bounded range dispatches.
+
+    Same contract as the old single-dispatch _fill_tokens; each dispatch
+    is blocked on before the next is enqueued (bounds device buffer
+    lifetimes — TPU allocates at enqueue time) and reports progress so
+    the ladder's stall watchdog sees output during long sweeps."""
+    chunk_batch = chunk_batch or FILL_CHUNK_BATCH
+    R = int(lengths.shape[0])
+    C = R // read_chunk
+    f = jnp.int32(0)
+    counts = jnp.zeros((C, group), jnp.int32)
+    tokbuf = jnp.zeros((cap_tok,), jnp.int32)
+    ovf = jnp.bool_(False)
+    c0 = 0
+    while c0 < C:
+        nc = min(chunk_batch, C - c0)
+        f, counts, tokbuf, ovf = _fill_tokens_range(
+            wlo, whi, lengths, bvec, tokbuf, f, counts, ovf,
+            jnp.int32(c0), k=k, read_chunk=read_chunk, cap_tok=cap_tok,
+            group=group, nc=nc)
+        f = jax.block_until_ready(f)
+        c0 += nc
+        if progress is not None and c0 < C:
+            progress("fill_chunks", done=c0, total=C, fill=int(f))
+    return f, counts, tokbuf, ovf
 
 
 @functools.partial(
@@ -400,9 +441,10 @@ def iter_count_parts_tokens(readset, k: int, lower: int, upper: int,
                 np.uint64((1 << 64) - 1)
         if g0 + gn == parts:
             bvec[gn:] = np.uint64((1 << 64) - 1)
-        fill, counts, tokbuf, ovf = _fill_tokens(
+        fill, counts, tokbuf, ovf = _fill_tokens_sweep(
             wlo_d, whi_d, lengths_d, jnp.asarray(bvec), k,
-            read_chunk=rc, cap_tok=token_cap, group=group)
+            read_chunk=rc, cap_tok=token_cap, group=group,
+            progress=progress)
         counts_h = np.asarray(counts).astype(np.int64)
         ovf_h = bool(ovf)
         part_tot = counts_h[:, :gn].sum(axis=0)

@@ -117,9 +117,16 @@ def main():
         print(f"[precompile-count] {name}: {time.time() - t0:.0f}s",
               flush=True)
 
-    compile_("_fill_tokens", ct._fill_tokens.lower(
-        w32, w32, lengths, bvec, k=k, read_chunk=rc, cap_tok=token_cap,
-        group=group))
+    C_ = Rpad // rc
+    tokbuf_s = sds((token_cap,), jnp.int32)
+    counts_s = sds((C_, group), jnp.int32)
+    f_s = sds((), jnp.int32)
+    ovf_s = sds((), jnp.bool_)
+    for nc in sorted({min(ct.FILL_CHUNK_BATCH, C_),
+                      C_ % ct.FILL_CHUNK_BATCH or ct.FILL_CHUNK_BATCH}):
+        compile_(f"_fill_tokens_range(nc={nc})", ct._fill_tokens_range.lower(
+            w32, w32, lengths, bvec, tokbuf_s, f_s, counts_s, ovf_s, f_s,
+            k=k, read_chunk=rc, cap_tok=token_cap, group=group, nc=nc))
 
     compile_("_part_from_tokens", ct._part_from_tokens.lower(
         w32, w32, sds((token_cap,), jnp.int32), i32(C), i32(C), i32(),
