@@ -609,7 +609,9 @@ def _state_from_host(host, out_cap: int, pend_cap: int):
 def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                             full: bool = False, out_cap: int = 0,
                             max_retries: int = 3, stage_chunks: int = 0,
-                            two_seeds: bool = True, resume=None):
+                            two_seeds: bool = True, resume=None,
+                            ci_slots: int = 1 << 25,
+                            pend_slots: int = 0):
     """Chained device SpGEMM over MULTI-PASS counting results
     (kmers.count_chunked.iter_count_parts): the accumulator state carries
     across parts, so total instance memory is bounded by ONE part while
@@ -643,7 +645,14 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
     # shape (later, larger parts just run more chunks of that CI), so
     # the pending capacity — part of the carried state's shape — is
     # sized to the workload, not the worst case
-    CI_budget = max((1 << 25) // span, 1 << 18)
+    # ci_slots sizes the per-chunk product-expansion buffer AND (via
+    # _pend_cap_for) the pending buffer that the flush merge sorts
+    # together with the accumulator: at rungs where a large resident
+    # read-word array (human-10X: 8 GB) leaves little HBM, shrinking
+    # ci_slots is the lever that keeps the flush-merge transient
+    # ((out_cap + pend_cap) * ~40 B) inside the budget at the cost of
+    # more, shorter stage dispatches.
+    CI_budget = max(ci_slots // span, 1 << 18)
     CI_max = CI_budget
     chunk_slots_max = CI_max * span
     if out_cap:
@@ -675,6 +684,14 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                                                     CI_max))
             if state is None:
                 pend_cap = _pend_cap_for(out_cap, chunk_slots_max, CI_max)
+                if pend_slots:
+                    # tight-HBM override: pending defaults to 2*out_cap
+                    # for flush amortization; a small explicit pending
+                    # trades more (smaller) flush merges for ~2 GB less
+                    # transient sort footprint (human-10X)
+                    wl = _live_window(chunk_slots_max, CI_max)
+                    pend_cap = min(max(pend_slots, wl + 1024),
+                                   COMPILE_CAP - out_cap)
                 if resume is not None and resume.get("state") is not None:
                     state = _state_from_host(resume["state"], out_cap,
                                              pend_cap)
@@ -682,6 +699,10 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                     state = _empty_state(out_cap, pend_cap)
             total_inst = part["nnz"].astype(jnp.int32)
             nchunks = max(-(-int(part["nnz"]) // CI), 1)
+            # the part's instance arrays are fully consumed by the
+            # relayout; dropping them BEFORE the stage dispatches frees
+            # their HBM (~0.6 GB at 33.5M-cap parts) for the flush merge
+            del part
             steps = stage_chunks if stage_chunks > 0 else nchunks
             start = 0
             while start < nchunks:
@@ -691,7 +712,7 @@ def spgemm_from_count_parts(parts_fn, upper: int, min_shared: int = 2,
                                       full=full, upper=upper, steps=steps,
                                       two_seeds=two_seeds)
                 start += steps
-            del rows, pos_p, gid_p, part
+            del rows, pos_p, gid_p
             # Drain the dispatch pipeline before pulling the next part:
             # TPU buffers are allocated at ENQUEUE time, so without this
             # barrier the next part's (or next grouped sweep's) multi-GB

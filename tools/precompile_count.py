@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--count-budget", type=int, default=58_000_000,
                     help="per-part instance budget (mirror run_ladder "
                          "--count-budget)")
+    ap.add_argument("--spgemm-slots", type=int, default=1 << 25,
+                    help="mirror run_ladder --spgemm-slots")
+    ap.add_argument("--b-cap", type=int, default=0,
+                    help="mirror run_ladder --b-cap")
+    ap.add_argument("--spgemm-pend", type=int, default=0,
+                    help="mirror run_ladder --spgemm-pend")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +88,8 @@ def main():
     if expected_pairs * 14 // 10 > (1 << 24):
         b_cap = -(-(expected_pairs * 14 // 10) // 1024) * 1024
     b_cap = max(b_cap, 1 << 24)
+    if args.b_cap:
+        b_cap = args.b_cap
 
     # --- iter_count_parts_tokens sizing ---
     rc, cap_auto, _ = plan_parts(readset, k, parts, 0, min_len=32)
@@ -135,7 +143,7 @@ def main():
 
     # --- spgemm_from_count_parts shapes (first part fixes CI geometry) ---
     span = upper - 1
-    CI_budget = max((1 << 25) // span, 1 << 18)
+    CI_budget = max(args.spgemm_slots // span, 1 << 18)
     N = part_cap
     CI_max = min(CI_budget, _pow2(max(N, 1 << 10)))
     chunk_slots_max = CI_max * span
@@ -143,6 +151,10 @@ def main():
     npad = _pow2(-(-N // CI) * CI + 2 * upper)
     out_cap = min(b_cap, sd._out_cap_max(chunk_slots_max, CI_max))
     pend_cap = sd._pend_cap_for(out_cap, chunk_slots_max, CI_max)
+    if args.spgemm_pend:
+        wl = sd._live_window(chunk_slots_max, CI_max)
+        pend_cap = min(max(args.spgemm_pend, wl + 1024),
+                       sd.COMPILE_CAP - out_cap)
     print(f"[precompile-count] CI={CI} npad={npad} out_cap={out_cap} "
           f"pend_cap={pend_cap}", flush=True)
 

@@ -90,6 +90,20 @@ def parse_args(argv=None):
     ap.add_argument("--token-budget", type=int, default=2_500_000_000,
                     help="token-sweep mode: HBM bytes for the token "
                          "buffer (sizes ranges-per-sweep)")
+    ap.add_argument("--spgemm-slots", type=int, default=1 << 25,
+                    help="per-chunk product-slot budget for the count-"
+                         "stage SpGEMM; shrink (e.g. 1<<22) when a "
+                         "large resident word array leaves little HBM "
+                         "for the flush merge (human-10X)")
+    ap.add_argument("--spgemm-pend", type=int, default=0,
+                    help="explicit pending-buffer slots for the count-"
+                         "stage SpGEMM (0 = auto ~2x out_cap); shrink "
+                         "with --spgemm-slots when HBM is tight")
+    ap.add_argument("--b-cap", type=int, default=0,
+                    help="explicit B-accumulator capacity (pairs); "
+                         "0 = 1.4x the reads*coverage model.  The "
+                         "model is accurate to ~2% on every rung so "
+                         "far, so ~1.1x is enough when HBM is tight")
     ap.add_argument("--count-budget", type=int, default=58_000_000,
                     help="per-part instance budget for auto-sized "
                          "multi-pass counting; the part buffer cap is "
@@ -323,6 +337,8 @@ def stage_count(args):
         b_cap = 0
         if expected_pairs * 14 // 10 > (1 << 24):
             b_cap = -(-(expected_pairs * 14 // 10) // 1024) * 1024
+        if args.b_cap:
+            b_cap = args.b_cap
         resume = None
         mult_path = os.path.join(d, "count_bcap_mult")
         if ck is not None:
@@ -338,7 +354,9 @@ def stage_count(args):
                                            min_shared=2, full=False,
                                            out_cap=b_cap,
                                            stage_chunks=4, two_seeds=False,
-                                           resume=resume)
+                                           resume=resume,
+                                           ci_slots=args.spgemm_slots,
+                                           pend_slots=args.spgemm_pend)
         except RuntimeError as e:
             # only a B-accumulator overflow warrants doubling the
             # persisted capacity multiplier; any other device
