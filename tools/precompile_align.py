@@ -44,11 +44,7 @@ def main():
     from elba_tpu.align.xdrop_tr import TR_NARROW
 
     n, total = args.reads, args.reads * args.read_len
-    # mirror GeomDeviceAligner._upload's padding exactly
     winpad = max(g.qw + g.tw for g in (TR_NARROW, WIDE))
-    codes_len = winpad + total + winpad + ((-(total + 2 * winpad)) % 128)
-    packed_len = codes_len // 4 + 1
-    assert packed_len < 2 ** 32
 
     B = args.batch
     sds = jax.ShapeDtypeStruct
@@ -76,6 +72,12 @@ def main():
               f"{time.time() - t0:.0f}s", flush=True)
         return
 
+    # mirror GeomDeviceAligner._upload's padding exactly (geom only:
+    # its byte offsets cap the resident set at 2^31 packed bytes)
+    codes_len = winpad + total + winpad + ((-(total + 2 * winpad)) % 128)
+    packed_len = codes_len // 4 + 1
+    assert packed_len < 2 ** 31, \
+        "geom driver caps at 2^31 packed bytes; use --driver blocks"
     print(f"[precompile-align] packed_len={packed_len} reads={n} "
           f"batch={B}", flush=True)
 
