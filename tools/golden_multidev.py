@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--xdrop", type=int, default=5)
     ap.add_argument("--ndev", type=int, nargs="+", default=[1, 4, 8])
     ap.add_argument("--prefix", default="/tmp/elba_golden")
+    ap.add_argument("--reuse-single", action="store_true",
+                    help="skip the serial run if its outputs exist "
+                         "(rerunning only the mesh side after an XLA "
+                         "CPU rendezvous starvation crash)")
     args = ap.parse_args()
 
     from elba_tpu.dseq.multihost import run_multihost_pipeline
@@ -103,11 +107,17 @@ def main():
                               output_prefix=prefix)
 
     # serial host pipeline = the golden
-    t0 = time.time()
-    run_pipeline(fasta, params_for(args.prefix + "_single"), log=None)
-    t_single = time.time() - t0
-    print(json.dumps(dict(run="single", seconds=round(t_single, 1))),
-          flush=True)
+    single_done = all(
+        os.path.exists(f"{args.prefix}_single.{sfx}")
+        for sfx in ("overlap.paf", "string.paf", "contigs.fa"))
+    if args.reuse_single and single_done:
+        print(json.dumps(dict(run="single", reused=True)), flush=True)
+    else:
+        t0 = time.time()
+        run_pipeline(fasta, params_for(args.prefix + "_single"), log=None)
+        t_single = time.time() - t0
+        print(json.dumps(dict(run="single", seconds=round(t_single, 1))),
+              flush=True)
 
     ok_all = True
     for nd in args.ndev:
