@@ -180,6 +180,9 @@ class DistSpMat:
                max_degree: int = 32):
         """C = self . other under semiring sr (SUMMA Mult_AnXBn role).
         Returns (DistSpMat, stats{products, join_overflow, out_overflow}).
+        max_degree is the AVERAGE-degree product-capacity multiplier: the
+        per-device product buffer holds panel_slots * max_degree entries
+        (no per-left degree cap — the join enumerates products by offset).
         Retry with larger max_degree / out_cap on overflow."""
         assert self.m == other.n, "inner dimensions must agree"
         assert self.mesh is other.mesh or self.mesh == other.mesh
@@ -315,43 +318,77 @@ def _build_spgemm(mesh, n, k_dim, m, lcap, rcap, out_cap, max_degree,
                                         tiled=True) for v in rtup)
 
         # canonical panel order: (middle index, partner) ascending — makes
-        # 'first'/'last' adds deterministic and mesh-invariant
-        lr = lkeys // k_dim
-        lk = lkeys % k_dim
-        lsort = jnp.where(lkeys < EMPTY, lk * n + lr, EMPTY)
-        lo = jnp.argsort(lsort, stable=True)
-        lr, lk = lr[lo], jnp.where(lkeys[lo] < EMPTY, lk[lo], EMPTY)
-        ltup = tuple(v[lo] for v in ltup)
+        # 'first'/'last' adds deterministic and mesh-invariant.  Payloads
+        # ride the variadic sort (a post-argsort gather costs ~3x the sort
+        # itself on v5e, CLAUDE.md).
+        Lp = lkeys.shape[0]
+        Rp = rkeys.shape[0]
+        lr0 = lkeys // k_dim
+        lk0 = jnp.where(lkeys < EMPTY, lkeys % k_dim, EMPTY)
+        lsort = jnp.where(lkeys < EMPTY, lk0 * n + lr0, EMPTY)
+        srt = jax.lax.sort((lsort, lr0, lk0) + ltup, num_keys=1,
+                           is_stable=True)
+        lr, lk = srt[1], srt[2]
+        ltup = srt[3:]
 
-        rk = rkeys // m
-        rj = rkeys % m
-        rsort = jnp.where(rkeys < EMPTY, rk * m + rj, EMPTY)
-        ro = jnp.argsort(rsort, stable=True)
-        rk, rj = jnp.where(rkeys[ro] < EMPTY, rk[ro], EMPTY), rj[ro]
-        rtup = tuple(v[ro] for v in rtup)
+        rk0 = jnp.where(rkeys < EMPTY, rkeys // m, EMPTY)
+        rj0 = rkeys % m
+        rsort = jnp.where(rkeys < EMPTY, rk0 * m + rj0, EMPTY)
+        srt = jax.lax.sort((rsort, rk0, rj0) + rtup, num_keys=1,
+                           is_stable=True)
+        rk, rj = srt[1], srt[2]
+        rtup = srt[3:]
 
-        # offset join on the middle index
-        start = jnp.searchsorted(rk, lk)
-        end = jnp.searchsorted(rk, lk, side="right")
-        joverflow = jnp.sum(jnp.where(
-            lk < EMPTY, jnp.maximum(end - start - max_degree, 0), 0))
-        pkeys, pkmid = [], []
-        pvals = {f: [] for f in sr.zero}
-        ldict = dict(zip(lfields, ltup))
-        for o in range(max_degree):
-            idx = jnp.clip(start + o, 0, rk.shape[0] - 1)
-            ok = (rk[idx] == lk) & (lk < EMPTY)
-            rdict = {f: v[idx] for f, v in zip(rfields, rtup)}
-            prod = sr.mul(ldict, rdict)
-            pkeys.append(jnp.where(ok, lr * m + rj[idx], EMPTY))
-            pkmid.append(jnp.where(ok, lk, 0))
-            for f in sr.zero:
-                pvals[f].append(jnp.where(ok, prod[f], sr.zero[f]))
-        key = jnp.concatenate(pkeys)
-        kmid = jnp.concatenate(pkmid)
-        vals = {f: jnp.concatenate(v).astype(jnp.int64)
-                for f, v in pvals.items()}
-        nprod = jnp.sum(key < EMPTY)
+        # ---- join on the middle index by offset enumeration (the
+        # searchsorted-free pattern of the fused paths: searchsorted costs
+        # ~30x a sort pass on v5e).  A sort-join over the concatenated
+        # middle keys (rights before lefts within a key run) yields, per
+        # left element, its partner-run start and degree via segment ops;
+        # product slots are then enumerated with one scatter + cummax.
+        ckey = jnp.concatenate([rk, lk])
+        side = jnp.concatenate([jnp.zeros(Rp, jnp.int64),
+                                jnp.ones(Lp, jnp.int64)])
+        cpos = jnp.concatenate([jnp.arange(Rp, dtype=jnp.int64),
+                                jnp.arange(Lp, dtype=jnp.int64)])
+        ckey, side, cpos = jax.lax.sort((ckey, side, cpos), num_keys=2,
+                                        is_stable=True)
+        isr = (side == 0).astype(jnp.int64)
+        rcum = jnp.cumsum(isr) - isr            # rights strictly before
+        cb = jnp.concatenate([jnp.ones(1, bool), ckey[1:] != ckey[:-1]])
+        cgid = jnp.cumsum(cb.astype(jnp.int64)) - 1
+        ncseg = Rp + Lp
+        runcnt = jax.ops.segment_sum(isr, cgid, num_segments=ncseg)
+        runsta = jax.ops.segment_min(rcum, cgid, num_segments=ncseg)
+        isl = (side == 1) & (ckey < EMPTY)
+        ldst = jnp.where(isl, cpos, Lp)
+        deg = jnp.zeros(Lp, jnp.int64).at[ldst].set(runcnt[cgid],
+                                                    mode="drop")
+        rstart = jnp.zeros(Lp, jnp.int64).at[ldst].set(runsta[cgid],
+                                                       mode="drop")
+
+        prod_cap = Lp * max_degree
+        pstart = jnp.cumsum(deg) - deg          # exclusive, left order
+        nprod = jnp.sum(deg)
+        joverflow = jnp.maximum(nprod - prod_cap, 0)
+
+        slot = jnp.arange(prod_cap, dtype=jnp.int64)
+        livel = deg > 0
+        lid = jnp.full(prod_cap, -1, jnp.int64).at[
+            jnp.where(livel & (pstart < prod_cap), pstart, prod_cap)
+        ].max(jnp.arange(Lp, dtype=jnp.int64), mode="drop")
+        lidx = jax.lax.cummax(lid)
+        lsafe = jnp.clip(lidx, 0, Lp - 1)
+        off = slot - pstart[lsafe]
+        ridx = jnp.clip(rstart[lsafe] + off, 0, Rp - 1)
+        ok = (slot < jnp.minimum(nprod, prod_cap)) & (lidx >= 0)
+
+        ldict = {f: v[lsafe] for f, v in zip(lfields, ltup)}
+        rdict = {f: v[ridx] for f, v in zip(rfields, rtup)}
+        prod = sr.mul(ldict, rdict)
+        key = jnp.where(ok, lr[lsafe] * m + rj[ridx], EMPTY)
+        kmid = jnp.where(ok, lk[lsafe], 0)
+        vals = {f: jnp.where(ok, prod[f], sr.zero[f]).astype(jnp.int64)
+                for f in sr.zero}
 
         # canonical product order: (output key, middle index) — at most
         # one product per (r, c, k), so this is a total order and

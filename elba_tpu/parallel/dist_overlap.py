@@ -201,17 +201,12 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
         # makes seed choice identical to the single-device path and
         # independent of the mesh layout
         key = jnp.where(has_pair, q_r * nreads + t_r, jnp.int64(2**62))
-        o = jnp.argsort(pt_r, stable=True)
-        key, q_r, t_r, pq_r, pt_r, km_r2 = \
-            key[o], q_r[o], t_r[o], pq_r[o], pt_r[o], km_r2[o]
-        o = jnp.argsort(pq_r, stable=True)
-        key, q_r, t_r, pq_r, pt_r, km_r2 = \
-            key[o], q_r[o], t_r[o], pq_r[o], pt_r[o], km_r2[o]
-        o = jnp.argsort(km_r2, stable=True)
-        key, q_r, t_r, pq_r, pt_r, km_r2 = \
-            key[o], q_r[o], t_r[o], pq_r[o], pt_r[o], km_r2[o]
-        o = jnp.argsort(key, stable=True)
-        key, qb_, tb_, pqb, ptb = key[o], q_r[o], t_r[o], pq_r[o], pt_r[o]
+        # one variadic 4-key sort = lexicographic (key, km, posQ, posT)
+        # with (q, t) riding as payloads (successive argsort+gather
+        # passes cost ~3x a carried sort each on v5e, CLAUDE.md)
+        key, km_r2, pqb, ptb, qb_, tb_ = jax.lax.sort(
+            (key, km_r2, pq_r, pt_r, q_r, t_r), num_keys=4,
+            is_stable=True)
         np_ = key.shape[0]
         pb = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
         pgid = jnp.cumsum(pb.astype(jnp.int64)) - 1
@@ -249,12 +244,31 @@ def build_distributed_overlap_step(mesh: Mesh, cfg: DistOverlapConfig):
         tlen = collens[tl].astype(jnp.int32)
 
         if cfg.align_in_step:
-            res = jax.vmap(
-                lambda a, bb, c_, d, e, f: _xdrop_one_pair(
-                    a, bb, c_, d, e, f, cfg.k, cfg.mat, cfg.mis, cfg.gap,
-                    cfg.xdrop, cfg.band))(
-                qcodes.astype(jnp.int8), tcodes.astype(jnp.int8),
-                qlen, tlen, apq, apt)
+            # chunked vmap: one whole-align_cap vmap materializes
+            # [align_cap, band, L]-class DP temporaries per shard — at
+            # E. coli scale on an 8-shard CPU-emulation host that peaked
+            # 83 GB RSS and drew the OOM killer.  lax.map over fixed
+            # chunks serializes the temporaries (identical results, peak
+            # divided by align_cap/chunk); on-TPU meshes this path is
+            # unused (use_pallas_align aligns out-of-step).
+            chunk = 512 if cfg.align_cap % 512 == 0 else cfg.align_cap
+            nch = cfg.align_cap // chunk
+
+            def _one_chunk(args):
+                a, bb, c_, d, e, f = args
+                return jax.vmap(
+                    lambda a1, b1, c1, d1, e1, f1: _xdrop_one_pair(
+                        a1, b1, c1, d1, e1, f1, cfg.k, cfg.mat, cfg.mis,
+                        cfg.gap, cfg.xdrop, cfg.band))(a, bb, c_, d, e, f)
+
+            def _ch(x):
+                return x.reshape((nch, chunk) + x.shape[1:])
+
+            res = jax.lax.map(_one_chunk, (
+                _ch(qcodes.astype(jnp.int8)), _ch(tcodes.astype(jnp.int8)),
+                _ch(qlen), _ch(tlen), _ch(apq), _ch(apt)))
+            res = {kk: v.reshape((cfg.align_cap,) + v.shape[2:])
+                   for kk, v in res.items()}
         else:
             # candidates only: the caller runs the fused Pallas kernel
             # over the emitted (q, t, seed) list per shard

@@ -162,7 +162,10 @@ def test_spgemm_overflow_reported(rng):
     mesh = mesh_of(4)
     MA = DistSpMat.from_triples(mesh, n, 1, rows, cols, {"v": vals})
     MB, _ = MA.transpose()
-    C, stats = MA.spgemm(MB, ARITH, out_cap=1024, max_degree=4)
+    # product capacity is panel_slots * max_degree (average-degree
+    # multiplier); the dense middle column yields 64 products/device
+    # against a 16-slot panel, so max_degree=1 must report overflow
+    C, stats = MA.spgemm(MB, ARITH, out_cap=1024, max_degree=1)
     assert stats["join_overflow"] > 0
     # out_cap too small must be reported, never silent
     C2, stats2 = MA.spgemm(MB, ARITH, out_cap=8, max_degree=32)
